@@ -1,0 +1,220 @@
+"""Seed indexing: exact k-mer matches in diagonal/antidiagonal coordinates.
+
+TPU-native rebuild of ``biseqt/seeds.py — SeedIndex, SeedIndexMultiple``.
+The reference materialized a per-pair SQLite table by a SQL self-join of
+k-mer hit lists; here seed enumeration is a sorted-merge join on device
+(:func:`biseqt_tpu.ops.tables.seed_join`) producing flat (i, j) arrays,
+which are then re-expressed in band coordinates
+
+    d = i - j   (diagonal; stored shifted as d_ = d + |T| >= 0,
+                 matching the reference's nonnegative convention)
+    a = i + j   (antidiagonal)
+
+and lexicographically sorted by (d_, a).  Band-windowed queries
+(``seeds(d_band=..., a_band=...)``, ``seed_count``) are binary searches over
+the sorted array — the role the SQL B-tree played, at memory bandwidth.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .sequence import Sequence
+from .ops import tables
+
+__all__ = ["Seed", "SeedIndex", "SeedIndexMultiple"]
+
+
+class Seed(tuple):
+    """A seed: exact k-mer match at origin position i, mutate position j."""
+
+    def __new__(cls, i, j):
+        return tuple.__new__(cls, (int(i), int(j)))
+
+    @property
+    def i(self):
+        return self[0]
+
+    @property
+    def j(self):
+        return self[1]
+
+    def __repr__(self):
+        return "Seed(i=%d, j=%d)" % (self[0], self[1])
+
+
+class SeedIndex:
+    """All exact k-mer matches between a pair of sequences, band-queryable.
+
+    Equivalent of ``biseqt/seeds.py — SeedIndex``; construction runs the
+    device-side join once, then keeps host-side sorted arrays for the
+    O(log n) band queries the Word-Blot layer makes.
+
+    Attributes:
+        S, T: the two sequences.
+        wordlen: seed k-mer length.
+        d_min_possible / d_max_possible: the full diagonal range
+            ``[-|T|, |S|]``.
+    """
+
+    def __init__(self, S: Sequence, T: Sequence, wordlen: int,
+                 path: str = None, capacity_hint: int = None):
+        assert S.alphabet == T.alphabet
+        self.S, self.T = S, T
+        self.wordlen = int(wordlen)
+        self.alphabet = S.alphabet
+        self.path = path
+        self._build(capacity_hint)
+
+    def _build(self, capacity_hint: Optional[int]):
+        ls, lt = len(self.S), len(self.T)
+        A = len(self.alphabet)
+        s = jnp.asarray(self.S.to_array()[None, :])
+        t = jnp.asarray(self.T.to_array()[None, :])
+        # expected background seeds + slack; doubles on overflow
+        expect = int(ls * lt / max(A ** self.wordlen, 1)) + min(ls, lt)
+        cap = capacity_hint or max(1 << 12, _next_pow2(4 * expect))
+        while True:
+            out = tables.seed_join(
+                s[0], jnp.int32(ls), t[0], jnp.int32(lt),
+                self.wordlen, A, capacity=cap,
+            )
+            total = int(out["total"])
+            if total <= cap:
+                break
+            cap = _next_pow2(total)
+        i = np.asarray(out["i"][:total] if total else out["i"][:0])
+        j = np.asarray(out["j"][:total] if total else out["j"][:0])
+        valid = np.asarray(out["valid"][: max(total, 0)])
+        i, j = i[valid], j[valid]
+        d_ = (i - j + lt).astype(np.int64)
+        a = (i + j).astype(np.int64)
+        order = np.lexsort((a, d_))
+        self._d_ = d_[order]
+        self._a = a[order]
+        # composite key for O(log n) 2-D band queries
+        self._acap = ls + lt + 1
+        self._comp = self._d_ * self._acap + self._a
+
+    # -- conventions ----------------------------------------------------------
+    def d_(self, d: int) -> int:
+        """Shifted diagonal: d_ = d + |T| (kept nonnegative like the ref)."""
+        return int(d) + len(self.T)
+
+    # -- queries --------------------------------------------------------------
+    def __len__(self):
+        return int(self._d_.shape[0])
+
+    def seed_count(self, d_band: Tuple[int, int] = None,
+                   a_band: Tuple[int, int] = None) -> int:
+        """Number of seeds with d in d_band and a in a_band (inclusive)."""
+        lo, hi = self._range(d_band, a_band)
+        return int(hi - lo) if a_band is None else self._count_2d(
+            d_band, a_band
+        )
+
+    def seeds(self, d_band=None, a_band=None) -> List[Seed]:
+        """Seeds (i, j), optionally band-restricted; sorted by (d, a)."""
+        d_arr, a_arr = self._select(d_band, a_band)
+        lt = len(self.T)
+        i = (a_arr + d_arr - lt) // 2
+        j = (a_arr - (d_arr - lt)) // 2
+        return [Seed(ii, jj) for ii, jj in zip(i, j)]
+
+    def seed_arrays(self, d_band=None, a_band=None):
+        """Band-restricted (d_, a) numpy arrays (analysis tier)."""
+        return self._select(d_band, a_band)
+
+    def seed_count_by_d_(self) -> np.ndarray:
+        """Per-diagonal seed counts, indexed by shifted diagonal d_.
+
+        The input to overlap-band scoring (``biseqt/seeds.py —
+        SeedIndex.seed_count`` per-diagonal variant).
+        """
+        n_d = len(self.S) + len(self.T) + 1
+        return np.bincount(self._d_, minlength=n_d).astype(np.int64)
+
+    # -- internals ------------------------------------------------------------
+    def _range(self, d_band, a_band):
+        if d_band is None:
+            return 0, len(self)
+        d_lo = self.d_(d_band[0])
+        d_hi = self.d_(d_band[1])
+        lo = np.searchsorted(self._d_, d_lo, side="left")
+        hi = np.searchsorted(self._d_, d_hi, side="right")
+        return int(lo), int(hi)
+
+    def _count_2d(self, d_band, a_band) -> int:
+        d_lo = self.d_(d_band[0]) if d_band else 0
+        d_hi = self.d_(d_band[1]) if d_band else self._acap - 1
+        a_lo, a_hi = (a_band if a_band else (0, self._acap - 1))
+        # per-diagonal counts via composite-key searchsorted, vectorized
+        ds = np.arange(d_lo, d_hi + 1, dtype=np.int64)
+        lo = np.searchsorted(self._comp, ds * self._acap + a_lo, "left")
+        hi = np.searchsorted(self._comp, ds * self._acap + a_hi, "right")
+        return int((hi - lo).sum())
+
+    def _select(self, d_band, a_band):
+        lo, hi = self._range(d_band, None)
+        d_arr = self._d_[lo:hi]
+        a_arr = self._a[lo:hi]
+        if a_band is not None:
+            m = (a_arr >= a_band[0]) & (a_arr <= a_band[1])
+            d_arr, a_arr = d_arr[m], a_arr[m]
+        return d_arr, a_arr
+
+
+class SeedIndexMultiple:
+    """Seeds shared by N > 2 sequences (k-mers present in every sequence).
+
+    Equivalent of ``biseqt/seeds.py — SeedIndexMultiple``: a seed is an
+    N-tuple of positions, one per sequence, where the same k-mer occurs.
+    Built by intersecting sorted k-mer tables and expanding the hit-list
+    cross products (bounded per k-mer to keep combinatorics sane).
+    """
+
+    def __init__(self, *seqs: Sequence, wordlen: int = 8,
+                 max_hits_per_kmer: int = 8):
+        assert len(seqs) >= 2
+        self.seqs = seqs
+        self.wordlen = int(wordlen)
+        self.alphabet = seqs[0].alphabet
+        from .kmers import as_kmer_seq
+
+        # per-sequence dict: kmer -> positions (host tier; N is small)
+        maps = []
+        for s in seqs:
+            m = {}
+            for pos, km in enumerate(as_kmer_seq(s, wordlen)):
+                m.setdefault(km, []).append(pos)
+            maps.append(m)
+        shared = set(maps[0])
+        for m in maps[1:]:
+            shared &= set(m)
+        seeds = []
+        for km in shared:
+            lists = [m[km][:max_hits_per_kmer] for m in maps]
+            # cross product of positions
+            idx = [0] * len(lists)
+            combos = [[]]
+            for lst in lists:
+                combos = [c + [p] for c in combos for p in lst]
+            seeds.extend(tuple(c) for c in combos)
+        self._seeds = sorted(seeds)
+
+    def __len__(self):
+        return len(self._seeds)
+
+    def seeds(self):
+        return list(self._seeds)
+
+    def seed_count(self):
+        return len(self._seeds)
+
+
+def _next_pow2(n: int) -> int:
+    n = max(int(n), 1)
+    return 1 << (n - 1).bit_length()

@@ -1,0 +1,379 @@
+"""Core sequence datatypes: alphabets, immutable sequences, edit transcripts.
+
+TPU-native rebuild of the reference's core sequence model
+(``biseqt/sequence.py — Alphabet, Sequence, EditTranscript``).  The host-facing
+API mirrors the reference contract (integer-coded immutable sequences,
+content-addressed identity, transform/reverse algebra) while the compute path
+is array-first: sequences lower to dense ``int8`` code arrays via
+:func:`pack_sequences`, the form every downstream TPU op (k-mer packing,
+seed join, banded DP) consumes.
+
+Design notes (TPU-first, not a port):
+  * Letter codes are small ints; device arrays are int8 (DNA fits in 2 bits,
+    int8 keeps VPU-friendly tiling while allowing |alphabet| up to 127).
+  * Variable lengths are carried out-of-band as an int32 ``lengths`` vector;
+    padding uses ``PAD = -1`` so any k-mer window touching padding is
+    detectable with a single comparison.
+  * Content ids (SHA-1) stay host-side — hashing is not a TPU job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Sequence as TypingSequence
+
+import numpy as np
+
+__all__ = [
+    "Alphabet",
+    "Sequence",
+    "NamedSequence",
+    "EditTranscript",
+    "PAD",
+    "pack_sequences",
+    "unpack_sequence",
+]
+
+# Padding sentinel used in packed code arrays.  Any window containing PAD is
+# invalid; -1 is convenient because valid codes are >= 0.
+PAD = -1
+
+
+class Alphabet:
+    """An ordered collection of letters, all of the same string length.
+
+    Mirrors ``biseqt/sequence.py — Alphabet``: letters map to their index
+    (the integer "code"); sequences store codes, not characters.
+
+    Attributes:
+        letters: tuple of letter strings (uniform length).
+    """
+
+    def __init__(self, letters: Iterable[str]):
+        letters = tuple(str(l) for l in letters)
+        if not letters:
+            raise ValueError("Alphabet requires at least one letter")
+        lengths = set(len(l) for l in letters)
+        if len(lengths) != 1:
+            raise ValueError("All alphabet letters must have the same length")
+        if len(set(letters)) != len(letters):
+            raise ValueError("Alphabet letters must be distinct")
+        self.letters = letters
+        self._letlen = lengths.pop()
+        self._index = {l: i for i, l in enumerate(letters)}
+
+    # -- container protocol ---------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.letters)
+
+    def __getitem__(self, idx: int) -> str:
+        return self.letters[idx]
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Alphabet) and self.letters == other.letters
+
+    def __ne__(self, other) -> bool:  # py2-style parity with reference
+        return not self == other
+
+    def __hash__(self):
+        return hash(self.letters)
+
+    def __repr__(self) -> str:
+        return "Alphabet(%s)" % (list(self.letters),)
+
+    @property
+    def letter_length(self) -> int:
+        """Uniform length of each letter string."""
+        return self._letlen
+
+    # -- text <-> codes -------------------------------------------------------
+    def letter_to_idx(self, letters: Iterable[str]) -> tuple:
+        """Translate letters to their integer codes."""
+        return tuple(self._index[l] for l in letters)
+
+    def parse(self, text: str) -> "Sequence":
+        """Parse a string into a :class:`Sequence` over this alphabet."""
+        ll = self._letlen
+        if len(text) % ll:
+            raise ValueError(
+                "text length %d not a multiple of letter length %d"
+                % (len(text), ll)
+            )
+        try:
+            contents = tuple(
+                self._index[text[i : i + ll]] for i in range(0, len(text), ll)
+            )
+        except KeyError as e:
+            raise ValueError("letter %r not in alphabet" % (e.args[0],))
+        return Sequence(self, contents)
+
+    def transform(self, seq: "Sequence", mappings=()) -> "Sequence":
+        """Apply letter mappings (e.g. complementing) producing a new Sequence.
+
+        ``mappings`` may be a dict (letter or code -> letter or code) or a
+        list of 2-tuples/strings; mappings are applied symmetrically (as the
+        reference does for complements: ``['AT', 'CG']``).
+        """
+        table = _mapping_table(self, mappings)
+        return Sequence(self, tuple(table[c] for c in seq.contents))
+
+
+def _mapping_table(alphabet: Alphabet, mappings) -> list:
+    """Build a code -> code translation table from flexible mapping specs."""
+    table = list(range(len(alphabet)))
+
+    def as_code(x):
+        if isinstance(x, str):
+            return alphabet._index[x]
+        return int(x)
+
+    if isinstance(mappings, dict):
+        pairs = list(mappings.items())
+    else:
+        pairs = []
+        for m in mappings:
+            if isinstance(m, str):
+                # e.g. 'AT' means A<->T (uniform letter length 1)
+                ll = alphabet.letter_length
+                assert len(m) == 2 * ll, "string mapping must contain 2 letters"
+                pairs.append((m[:ll], m[ll:]))
+            else:
+                pairs.append((m[0], m[1]))
+    for a, b in pairs:
+        ca, cb = as_code(a), as_code(b)
+        table[ca] = cb
+        table[cb] = ca
+    return table
+
+
+class Sequence:
+    """An immutable sequence of letters from an :class:`Alphabet`.
+
+    Contents are a tuple of integer codes.  Identity is content-addressed:
+    :attr:`content_id` is the SHA-1 of the rendered text plus the alphabet
+    (mirrors ``biseqt/sequence.py — Sequence.content_id``).
+    """
+
+    def __init__(self, alphabet: Alphabet, contents: TypingSequence[int] = ()):
+        assert isinstance(alphabet, Alphabet)
+        contents = tuple(int(c) for c in contents)
+        if contents:
+            mx = max(contents)
+            mn = min(contents)
+            if mn < 0 or mx >= len(alphabet):
+                raise ValueError("letter code out of range for alphabet")
+        self.alphabet = alphabet
+        self.contents = contents
+
+    # -- identity -------------------------------------------------------------
+    @property
+    def content_id(self) -> str:
+        """SHA-1 hex digest of the sequence text + alphabet letters."""
+        h = hashlib.sha1()
+        h.update(str(self).encode("utf-8"))
+        h.update(repr(self.alphabet.letters).encode("utf-8"))
+        return h.hexdigest()
+
+    # -- container protocol ---------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.contents)
+
+    def __bool__(self) -> bool:
+        return len(self.contents) > 0
+
+    __nonzero__ = __bool__
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return Sequence(self.alphabet, self.contents[key])
+        return self.contents[key]
+
+    def __iter__(self):
+        return iter(self.contents)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Sequence)
+            and self.alphabet == other.alphabet
+            and self.contents == other.contents
+        )
+
+    def __ne__(self, other) -> bool:
+        return not self == other
+
+    def __hash__(self):
+        return hash((self.alphabet.letters, self.contents))
+
+    def __add__(self, other) -> "Sequence":
+        if isinstance(other, Sequence):
+            assert self.alphabet == other.alphabet
+            return Sequence(self.alphabet, self.contents + other.contents)
+        # allow raw iterables of codes
+        return Sequence(self.alphabet, self.contents + tuple(other))
+
+    def __str__(self) -> str:
+        return "".join(self.alphabet[c] for c in self.contents)
+
+    def __repr__(self) -> str:
+        txt = str(self)
+        if len(txt) > 40:
+            txt = txt[:37] + "..."
+        return "Sequence(%r)" % txt
+
+    # -- algebra --------------------------------------------------------------
+    def reverse(self, name: str = None) -> "Sequence":
+        """The reversed sequence."""
+        s = Sequence(self.alphabet, tuple(reversed(self.contents)))
+        return s
+
+    def transform(self, mappings=(), name: str = None) -> "Sequence":
+        """Letter-mapped copy (e.g. ``transform(['AT','CG'])`` complements DNA)."""
+        return self.alphabet.transform(self, mappings)
+
+    # -- device lowering ------------------------------------------------------
+    def to_array(self, dtype=np.int8) -> np.ndarray:
+        """Dense integer-code array (the device-side representation)."""
+        return np.asarray(self.contents, dtype=dtype)
+
+
+class NamedSequence(Sequence):
+    """A sequence with a display name (FASTA record name).
+
+    Mirrors ``biseqt/sequence.py — NamedSequence``: same content semantics,
+    plus a name carried along; content_id covers the name too so database
+    identity distinguishes identically-lettered records with distinct names.
+    """
+
+    def __init__(self, alphabet, contents=(), name: str = ""):
+        super().__init__(alphabet, contents)
+        self.name = name
+
+    @classmethod
+    def wrap(cls, seq: Sequence, name: str = "") -> "NamedSequence":
+        return cls(seq.alphabet, seq.contents, name=name)
+
+    @property
+    def content_id(self) -> str:
+        h = hashlib.sha1()
+        h.update(str(self).encode("utf-8"))
+        h.update(repr(self.alphabet.letters).encode("utf-8"))
+        h.update(self.name.encode("utf-8"))
+        return h.hexdigest()
+
+    def reverse(self, name=None) -> "NamedSequence":
+        if name is None:
+            name = "(reverse of %s)" % self.name
+        return NamedSequence(
+            self.alphabet, tuple(reversed(self.contents)), name=name
+        )
+
+    def transform(self, mappings=(), name=None) -> "NamedSequence":
+        if name is None:
+            name = "(transform of %s)" % self.name
+        base = self.alphabet.transform(self, mappings)
+        return NamedSequence(self.alphabet, base.contents, name=name)
+
+    def __repr__(self):
+        return "NamedSequence(%r, name=%r)" % (str(self)[:24], self.name)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, NamedSequence)
+            and super().__eq__(other)
+            and self.name == other.name
+        )
+
+    def __hash__(self):
+        return hash((self.alphabet.letters, self.contents, self.name))
+
+
+class EditTranscript(str):
+    """An edit transcript: a string over the op alphabet ``MSID``.
+
+    M = match, S = substitution, I = insertion (into origin; i.e. a letter of
+    the mutant consumed alone), D = deletion.  Mirrors
+    ``biseqt/sequence.py — EditTranscript``; shared by the aligner output and
+    the mutation simulator so tests can compare them directly.
+    """
+
+    OPS = "MSID"
+
+    def __new__(cls, content):
+        content = str(content).upper()
+        assert all(c in cls.OPS for c in content), "ops must be in MSID"
+        return str.__new__(cls, content)
+
+    def __repr__(self):
+        return "EditTranscript(%r)" % str(self)
+
+    def __getitem__(self, key):
+        out = str.__getitem__(self, key)
+        if isinstance(key, slice):
+            return EditTranscript(out)
+        return out
+
+    def __add__(self, other):
+        return EditTranscript(str(self) + str(other))
+
+    # -- projections ----------------------------------------------------------
+    @property
+    def origin_len(self) -> int:
+        """Number of origin letters consumed (M, S, D ops)."""
+        return sum(1 for c in self if c in "MSD")
+
+    @property
+    def mutate_len(self) -> int:
+        """Number of mutant letters consumed (M, S, I ops)."""
+        return sum(1 for c in self if c in "MSI")
+
+
+# ---------------------------------------------------------------------------
+# Device packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(seqs, pad_to: int = None, dtype=np.int8):
+    """Pack sequences into a dense padded code matrix + length vector.
+
+    This is the lowering from the host object model to the device
+    representation used by every TPU op in the framework.
+
+    Args:
+        seqs: iterable of :class:`Sequence` (or raw code iterables).
+        pad_to: pad row length; default = max sequence length.  For TPU
+            friendliness callers usually round up to a multiple of 128.
+        dtype: output dtype of the code matrix (int8 default).
+
+    Returns:
+        ``(codes, lengths)``: ``codes`` is ``[N, pad_to]`` with ``PAD`` in the
+        tail; ``lengths`` is int32 ``[N]``.
+    """
+    rows = []
+    for s in seqs:
+        if isinstance(s, Sequence):
+            rows.append(np.asarray(s.contents, dtype=np.int64))
+        else:
+            rows.append(np.asarray(tuple(s), dtype=np.int64))
+    n = len(rows)
+    maxlen = max((len(r) for r in rows), default=0)
+    if pad_to is None:
+        pad_to = max(maxlen, 1)
+    if maxlen > pad_to:
+        raise ValueError("pad_to=%d < longest sequence %d" % (pad_to, maxlen))
+    codes = np.full((n, pad_to), PAD, dtype=dtype)
+    lengths = np.zeros((n,), dtype=np.int32)
+    for i, r in enumerate(rows):
+        codes[i, : len(r)] = r.astype(dtype)
+        lengths[i] = len(r)
+    return codes, lengths
+
+
+def unpack_sequence(alphabet: Alphabet, codes, length=None) -> Sequence:
+    """Inverse of :func:`pack_sequences` for a single row."""
+    codes = np.asarray(codes)
+    if length is not None:
+        codes = codes[: int(length)]
+    else:
+        valid = codes != PAD
+        if not valid.all():
+            codes = codes[: int(np.argmin(valid))]
+    return Sequence(alphabet, [int(c) for c in codes])

@@ -1,0 +1,108 @@
+"""K-mer packing + index tests (ref strategy: tests/test_kmers.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from biseqt_tpu.sequence import Alphabet, Sequence, pack_sequences
+from biseqt_tpu.kmers import kmer_as_int, as_kmer_seq, KmerIndex, KmerCache
+from biseqt_tpu.ops.tables import kmer_keys, KEY_SENTINEL, build_kmer_table
+from biseqt_tpu.stochastics import rand_seq
+
+A4 = Alphabet("ACGT")
+
+
+def test_kmer_as_int_roundtrip():
+    # base-4 positional packing, most significant first
+    assert kmer_as_int((0, 0, 0), A4) == 0
+    assert kmer_as_int((0, 1, 2), A4) == 0 * 16 + 1 * 4 + 2
+    assert kmer_as_int((3, 3, 3), A4) == 63
+    # distinct k-mers -> distinct ints (exhaustive for k=3)
+    seen = set()
+    for a in range(4):
+        for b in range(4):
+            for c in range(4):
+                seen.add(kmer_as_int((a, b, c), A4))
+    assert len(seen) == 64
+
+
+def test_as_kmer_seq_matches_scalar():
+    s = A4.parse("ACGTTGCA")
+    ks = as_kmer_seq(s, 3)
+    assert len(ks) == 6
+    expect = [kmer_as_int(s.contents[i:i + 3], A4) for i in range(6)]
+    assert ks == expect
+
+
+def test_device_kmer_keys_match_host(rng):
+    seqs = [rand_seq(A4, n, rng=rng) for n in (10, 7, 16)]
+    codes, lengths = pack_sequences(seqs)
+    keys = np.asarray(kmer_keys(jnp.asarray(codes), jnp.asarray(lengths), 4))
+    for b, s in enumerate(seqs):
+        host = as_kmer_seq(s, 4)
+        n = len(host)
+        assert keys[b, :n].tolist() == host
+        assert (keys[b, n:] == KEY_SENTINEL).all()
+
+
+def test_kmer_index_hits(rng):
+    seqs = [rand_seq(A4, 60, rng=rng) for _ in range(5)]
+    idx = KmerIndex(wordlen=5, alphabet=A4).index_kmers(seqs)
+    assert idx.num_seqs == 5
+    assert idx.num_kmers == sum(len(s) - 4 for s in seqs)
+    # every hit must be a real occurrence; spot check all distinct kmers
+    for km in idx.kmers()[:50]:
+        for sid, pos in idx.hits(km):
+            window = seqs[sid].contents[pos:pos + 5]
+            assert kmer_as_int(window, A4) == km
+    # a kmer that cannot occur (sentinel-1) has no hits
+    assert idx.hits(4 ** 5 - 1) == idx.hits(4 ** 5 - 1)
+
+
+def test_kmer_index_counts_and_scores(rng):
+    # plant a heavily repeated kmer
+    core = A4.parse("ACGTA")
+    s = Sequence(A4, sum([core.contents] * 30, ()))
+    other = rand_seq(A4, 150, rng=rng)
+    idx = KmerIndex(wordlen=5, alphabet=A4).index_kmers([s, other])
+    uniq, scores = idx.score_kmers()
+    km = kmer_as_int(core.contents, A4)
+    k_at = np.where(uniq == km)[0]
+    assert k_at.size == 1
+    # the planted repeat must be among the highest-scoring kmers
+    assert scores[k_at[0]] >= np.percentile(scores, 95)
+    removed = idx.mask_repetitive(max_score=20.0)
+    assert removed >= 30 - 4
+
+
+def test_kmer_index_persistence(tmp_path, rng):
+    seqs = [rand_seq(A4, 40, rng=rng) for _ in range(3)]
+    p = str(tmp_path / "idx.npz")
+    idx = KmerIndex(wordlen=4, alphabet=A4, path=p).index_kmers(seqs)
+    n = idx.num_kmers
+    km = idx.kmers()[0]
+    hits = idx.hits(km)
+    # reload from snapshot (reference: SQLite files reused if present)
+    idx2 = KmerIndex(wordlen=4, alphabet=A4, path=p)
+    assert idx2.num_kmers == n
+    assert idx2.hits(km) == hits
+
+
+def test_kmer_cache(tmp_path, rng):
+    s = rand_seq(A4, 50, rng=rng)
+    cache = KmerCache(str(tmp_path / "kc"), wordlen=6, alphabet=A4)
+    a = cache.as_kmer_seq(s)
+    b = cache.as_kmer_seq(s)  # second call hits the disk cache
+    assert a.tolist() == b.tolist() == as_kmer_seq(s, 6)
+
+
+def test_build_kmer_table_sorted(rng):
+    seqs = [rand_seq(A4, 30, rng=rng) for _ in range(4)]
+    codes, lengths = pack_sequences(seqs)
+    keys, sids, poss, n = build_kmer_table(
+        jnp.asarray(codes), jnp.asarray(lengths), 3
+    )
+    keys = np.asarray(keys)
+    n = int(n)
+    assert (np.diff(keys[:n]) >= 0).all()
+    assert (keys[n:] == KEY_SENTINEL).all()
