@@ -1,0 +1,463 @@
+"""Word-Blot: statistical similar-segment discovery without full DP.
+
+TPU-native rebuild of the flagship layer ``biseqt/blot.py — band_radius,
+band_radii, expected_overlap_len, WordBlot, WordBlotOverlap,
+WordBlotLocalRef, WordBlotMultiple``.
+
+The algorithm (per the Word-Blot method): seeds (exact k-mer matches) are
+viewed in (diagonal d = i - j, antidiagonal a = i + j) coordinates.  A true
+local alignment of length K with gap probability g stays inside a diagonal
+band of radius ~ sqrt(g K) (random-walk drift), so similar segments show up
+as seed-dense (d, a) rectangles.  Each candidate band's seed count is scored
+under two hypotheses — H0 unrelated (background rate |Σ|^-w per cell) vs H1
+related at match probability p (rate ~ p^w per column) — and the match
+probability is estimated as p̂ = (n/K)^(1/w).
+
+TPU reformulation (SURVEY.md §7): the reference's per-seed KDTree radius
+queries + SQL band counts become one scatter-add histogram over (d, a)
+bucket cells plus a 3x3 shifted-window sum (:mod:`ops.blot_stats`), and
+segment assembly is connected components over the occupied cells.  All the
+scoring is vectorized; only the final component labeling (a few thousand
+cells) runs on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+from scipy.special import erfcinv
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from .sequence import Sequence
+from .seeds import SeedIndex, SeedIndexMultiple
+from .kmers import as_kmer_seq
+from .ops import blot_stats
+
+__all__ = [
+    "band_radius", "band_radii", "expected_overlap_len",
+    "WordBlot", "WordBlotOverlap", "WordBlotLocalRef", "WordBlotMultiple",
+]
+
+
+# ---------------------------------------------------------------------------
+# band geometry math
+# ---------------------------------------------------------------------------
+
+def band_radius(K, gap_prob, sensitivity=0.99):
+    """Diagonal band radius containing a length-K alignment w.p. sensitivity.
+
+    Random-walk model (``biseqt/blot.py — band_radius``): after K alignment
+    columns the path's diagonal position is a sum of ~ g*K centered ±1 indel
+    steps, hence Normal with sd ~ sqrt(g*K); the two-sided (1-ε) quantile
+    gives r = erfcinv(ε) * sqrt(2 g K).
+    """
+    eps = 1.0 - float(sensitivity)
+    r = erfcinv(eps) * np.sqrt(2.0 * float(gap_prob) * np.asarray(K, float))
+    return np.maximum(1, np.ceil(r)).astype(int)
+
+
+def band_radii(Ks, gap_prob, sensitivity=0.99):
+    """Vectorized :func:`band_radius` over segment lengths."""
+    return band_radius(np.asarray(list(Ks)), gap_prob, sensitivity)
+
+
+def expected_overlap_len(len0, len1, diag, gap_prob):
+    """Expected alignment-column length of an overlap along a diagonal.
+
+    (``biseqt/blot.py — expected_overlap_len``.)  Along diagonal d the
+    gap-free overlap spans ``L(d) = min(len0 - d, len1 + d, len0, len1)``
+    residues; indels (prob g per column) stretch columns by ~ 1/(1 - g/2).
+    """
+    d = np.asarray(diag)
+    L = np.minimum(
+        np.minimum(len0 - d, len1 + d), np.minimum(len0, len1)
+    )
+    L = np.maximum(L, 0)
+    return np.ceil(L / (1.0 - float(gap_prob) / 2.0)).astype(int)
+
+
+# ---------------------------------------------------------------------------
+# WordBlot
+# ---------------------------------------------------------------------------
+
+class WordBlot:
+    """Pairwise similar-segment discovery over a :class:`SeedIndex`.
+
+    Equivalent of ``biseqt/blot.py — WordBlot``.
+
+    Args:
+        S, T: the two sequences.
+        wordlen: k-mer length w.
+        g_max: maximum gap probability the band model should tolerate.
+        sensitivity: band-radius sensitivity (1 - ε).
+    """
+
+    def __init__(self, S: Sequence, T: Sequence, wordlen: int = 8,
+                 g_max: float = 0.3, sensitivity: float = 0.99,
+                 path: str = None):
+        self.S, self.T = S, T
+        self.wordlen = int(wordlen)
+        self.g_max = float(g_max)
+        self.sensitivity = float(sensitivity)
+        self.seed_index = SeedIndex(S, T, wordlen, path=path)
+
+    # -- thin re-exports ------------------------------------------------------
+    def band_radius(self, K) -> int:
+        return int(band_radius(K, self.g_max, self.sensitivity))
+
+    def seed_count(self, d_band=None, a_band=None) -> int:
+        return self.seed_index.seed_count(d_band=d_band, a_band=a_band)
+
+    def score_num_seeds(self, num_seeds, area, seglen, p_match):
+        """(S0, S1) neg-log p-values of a band's seed count; see
+        :func:`ops.blot_stats.h0_h1_scores`."""
+        s0, s1 = blot_stats.h0_h1_scores(
+            num_seeds, area, seglen, p_match, self.wordlen,
+            len(self.S.alphabet),
+        )
+        return float(s0), float(s1)
+
+    def estimate_match_probability(self, num_seeds, seglen) -> float:
+        return float(blot_stats.estimate_match_probability(
+            num_seeds, seglen, self.wordlen
+        ))
+
+    # -- core machinery -------------------------------------------------------
+    def _grids(self, K: int):
+        """Bucket seeds into (d-cell, a-cell) histogram + 3x3 sums."""
+        r = self.band_radius(K)
+        d_, a = self.seed_index.seed_arrays()
+        acell = max(2 * K, 2)
+        dcell = max(r, 1)
+        n_d = (len(self.S) + len(self.T)) // dcell + 2
+        n_a = (len(self.S) + len(self.T)) // acell + 2
+        if len(d_) == 0:
+            grid = np.zeros((n_d, n_a), np.int32)
+            return grid, grid, dcell, acell, r
+        grid = np.asarray(blot_stats.grid_counts(
+            jnp.asarray(d_ // dcell, jnp.int32),
+            jnp.asarray(a // acell, jnp.int32),
+            jnp.ones(len(d_), bool), n_d, n_a,
+        ))
+        neigh = np.asarray(blot_stats.box_sum3(jnp.asarray(grid)))
+        return grid, neigh, dcell, acell, r
+
+    def score_seeds(self, K: int) -> List[Dict]:
+        """Per-seed local match-probability estimates.
+
+        For each seed, counts neighbors within its band neighborhood
+        (±band_radius in d, ±K in a, up to bucket quantization) and
+        converts to p̂.  Mirrors ``WordBlot.score_seeds``.
+        """
+        grid, neigh, dcell, acell, r = self._grids(K)
+        d_, a = self.seed_index.seed_arrays()
+        lt = len(self.T)
+        out = []
+        win_cols = min(2 * 3 * acell, 2 * (min(len(self.S), len(self.T))))
+        for dd, aa in zip(d_, a):
+            n = int(neigh[int(dd) // dcell, int(aa) // acell])
+            p = self.estimate_match_probability(n, win_cols // 2)
+            i = (aa + dd - lt) // 2
+            j = (aa - (dd - lt)) // 2
+            out.append({"seed": (int(i), int(j)), "neighs": n, "p": float(p)})
+        return out
+
+    def similar_segments(self, K_min: int, p_min: float,
+                         at_least_one: bool = False) -> Iterable[Dict]:
+        """Discover maximal similar segments (the flagship entry point).
+
+        Yields dicts ``{'segment': ((d_min, d_max), (a_min, a_max)),
+        'p': p̂, 'score': (S0, S1)}`` — the same contract as
+        ``biseqt/blot.py — WordBlot.similar_segments``; ``d`` values are in
+        true (unshifted) diagonal coordinates.
+        """
+        grid, neigh, dcell, acell, r = self._grids(K_min)
+        lt = len(self.T)
+        # a cell is "hot" if its 3x3 neighborhood (≈ a (3r, 6K) window in
+        # (d, a), i.e. ~3K alignment columns per band) has enough seeds to
+        # suggest match probability >= p_min over K_min columns
+        win_cols = 3 * acell / 2.0  # 3 a-cells = 6K antidiags = 3K columns
+        thresh = max(1.0, win_cols * (p_min ** self.wordlen) * 0.5)
+        hot = neigh >= thresh
+        if not hot.any():
+            if at_least_one:
+                yield self._best_fallback(K_min, p_min)
+            return
+        labels, n_comp = ndimage.label(hot, structure=np.ones((3, 3)))
+        found = 0
+        for comp in range(1, n_comp + 1):
+            cells = np.nonzero(labels == comp)
+            d_lo = int(cells[0].min()) * dcell
+            d_hi = (int(cells[0].max()) + 1) * dcell - 1
+            a_lo = int(cells[1].min()) * acell
+            a_hi = (int(cells[1].max()) + 1) * acell - 1
+            n = self.seed_index.seed_count(
+                d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
+            )
+            seglen = (a_hi - a_lo + 1) / 2.0
+            if seglen < K_min:
+                continue
+            area = (d_hi - d_lo + 1) * seglen
+            p_hat = self.estimate_match_probability(n, seglen)
+            if p_hat < p_min:
+                continue
+            s0, s1 = self.score_num_seeds(n, area, seglen, p_hat)
+            found += 1
+            yield {
+                "segment": ((d_lo - lt, d_hi - lt), (a_lo, a_hi)),
+                "p": p_hat,
+                "score": (s0, s1),
+                "num_seeds": n,
+            }
+        if found == 0 and at_least_one:
+            yield self._best_fallback(K_min, p_min)
+
+    def _best_fallback(self, K_min, p_min) -> Dict:
+        """Best-effort single segment around the densest band (used when
+        thresholding yields nothing but a caller wants a ranking anyway)."""
+        grid, neigh, dcell, acell, r = self._grids(K_min)
+        lt = len(self.T)
+        u, v = np.unravel_index(np.argmax(neigh), neigh.shape)
+        d_lo, d_hi = (u - 1) * dcell, (u + 2) * dcell - 1
+        a_lo, a_hi = (v - 1) * acell, (v + 2) * acell - 1
+        n = self.seed_index.seed_count(
+            d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
+        )
+        seglen = max((a_hi - a_lo + 1) / 2.0, 1.0)
+        p_hat = self.estimate_match_probability(n, seglen)
+        s0, s1 = self.score_num_seeds(
+            n, (d_hi - d_lo + 1) * seglen, seglen, max(p_hat, 1e-3)
+        )
+        return {
+            "segment": ((d_lo - lt, d_hi - lt), (a_lo, a_hi)),
+            "p": p_hat, "score": (s0, s1), "num_seeds": n,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Overlap mode
+# ---------------------------------------------------------------------------
+
+class WordBlotOverlap(WordBlot):
+    """Read-overlap discovery: only bands crossing sequence ends matter.
+
+    Equivalent of ``biseqt/blot.py — WordBlotOverlap``: instead of free
+    (d, a) rectangles, candidates are full diagonal bands [d-r, d+r] scored
+    over their whole antidiagonal extent — a suffix of one read aligning a
+    prefix of the other.
+    """
+
+    def highest_scoring_overlap_band(self, p_min: float = 0.5,
+                                     min_score: float = 10.0) -> Dict:
+        """Score every diagonal band, return the best overlap candidate.
+
+        A candidate must be *significant*: its seed count must reject H0
+        (unrelatedness) with S0 >= ``min_score`` neg-log-p — p̂ alone cannot
+        discriminate because the 1/w-th root compresses background counts
+        toward ~0.5.  Among significant bands the one with the most
+        estimated matched columns (p̂ · K_d) wins.
+
+        Returns ``{'d_band': (d_lo, d_hi), 'p': p̂, 'score': (S0, S1),
+        'expected_len': K_d}`` or None if no significant overlap exists.
+        """
+        ls, lt = len(self.S), len(self.T)
+        counts = self.seed_index.seed_count_by_d_()
+        if counts.sum() == 0:
+            return None
+        diags = np.arange(counts.shape[0]) - lt  # true d per bin
+        K_d = expected_overlap_len(ls, lt, diags, self.g_max)
+        r_d = band_radius(np.maximum(K_d, 2), self.g_max, self.sensitivity)
+        # sliding band sums with the max radius window; per-band scoring
+        # then uses that window's own area so the statistics stay honest
+        r_max = int(r_d.max())
+        sums = np.asarray(blot_stats.sliding_band_sums(
+            jnp.asarray(counts, jnp.int32), jnp.int32(r_max)
+        )).astype(float)
+        seglen = np.maximum(K_d, 1).astype(float)
+        p_hat = np.asarray(blot_stats.estimate_match_probability(
+            sums, seglen, self.wordlen
+        ))
+        area = (2.0 * r_max + 1) * seglen
+        s0, s1 = blot_stats.h0_h1_scores(
+            sums, area, seglen, np.maximum(p_hat, 1e-3), self.wordlen,
+            len(self.S.alphabet),
+        )
+        s0, s1 = np.asarray(s0), np.asarray(s1)
+        ok = (K_d >= 2 * self.wordlen) & (s0 >= min_score)
+        if not ok.any():
+            return None
+        rank = np.where(ok, p_hat * seglen, -1.0)
+        best = int(np.argmax(rank))
+        return {
+            "d_band": (int(diags[best] - r_d[best]),
+                       int(diags[best] + r_d[best])),
+            "p": float(p_hat[best]),
+            "score": (float(s0[best]), float(s1[best])),
+            "expected_len": int(K_d[best]),
+        }
+
+    def overlap_profile(self):
+        """(diags, p̂ per diagonal band) for inspection/benchmarks."""
+        ls, lt = len(self.S), len(self.T)
+        counts = self.seed_index.seed_count_by_d_()
+        diags = np.arange(counts.shape[0]) - lt
+        K_d = expected_overlap_len(ls, lt, diags, self.g_max)
+        r_max = int(band_radius(max(int(K_d.max()), 2), self.g_max,
+                                self.sensitivity))
+        sums = np.asarray(blot_stats.sliding_band_sums(
+            jnp.asarray(counts, jnp.int32), jnp.int32(r_max)
+        ))
+        p_hat = np.asarray(blot_stats.estimate_match_probability(
+            sums.astype(float), np.maximum(K_d, 1).astype(float),
+            self.wordlen,
+        ))
+        return diags, p_hat
+
+
+# ---------------------------------------------------------------------------
+# Fixed-reference mode
+# ---------------------------------------------------------------------------
+
+class WordBlotLocalRef:
+    """Many queries against one fixed reference, index built once.
+
+    Equivalent of ``biseqt/blot.py — WordBlotLocalRef``: the reference's
+    k-mer positions are indexed up front (dict of sorted position lists);
+    each query streams through in O(|query| + hits).
+    """
+
+    def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
+                 sensitivity: float = 0.99):
+        self.ref = ref
+        self.wordlen = int(wordlen)
+        self.g_max = float(g_max)
+        self.sensitivity = float(sensitivity)
+        self._index = {}
+        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
+            self._index.setdefault(km, []).append(pos)
+
+    def similar_segments(self, query: Sequence, K_min: int, p_min: float,
+                         **kw):
+        """Similar segments between ``query`` (as S) and the reference (T).
+
+        Runs the same band statistics as :class:`WordBlot` but enumerates
+        seeds from the prebuilt reference index.
+        """
+        wb = WordBlot.__new__(WordBlot)
+        wb.S, wb.T = query, self.ref
+        wb.wordlen = self.wordlen
+        wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
+        wb.seed_index = _SeedsFromRefIndex(
+            query, self.ref, self.wordlen, self._index
+        )
+        return wb.similar_segments(K_min, p_min, **kw)
+
+
+class _SeedsFromRefIndex(SeedIndex):
+    """SeedIndex built from a prebuilt reference k-mer dict (no re-index)."""
+
+    def __init__(self, S, T, wordlen, ref_index):
+        self.S, self.T = S, T
+        self.wordlen = wordlen
+        self.alphabet = S.alphabet
+        self.path = None
+        lt = len(T)
+        i_list, j_list = [], []
+        for i, km in enumerate(as_kmer_seq(S, wordlen)):
+            for j in ref_index.get(km, ()):
+                i_list.append(i)
+                j_list.append(j)
+        i = np.asarray(i_list, np.int64)
+        j = np.asarray(j_list, np.int64)
+        d_ = i - j + lt
+        a = i + j
+        order = np.lexsort((a, d_))
+        self._d_ = d_[order]
+        self._a = a[order]
+        self._acap = len(S) + lt + 1
+        self._comp = self._d_ * self._acap + self._a
+
+
+# ---------------------------------------------------------------------------
+# Multiple sequences
+# ---------------------------------------------------------------------------
+
+class WordBlotMultiple:
+    """N-way similar segments over :class:`SeedIndexMultiple`.
+
+    Equivalent of ``biseqt/blot.py — WordBlotMultiple``: seeds are position
+    tuples (one per sequence); a similar segment is a tuple of diagonal
+    bands (one per non-pivot sequence) plus an antidiagonal range, dense in
+    N-way seeds.
+    """
+
+    def __init__(self, *seqs: Sequence, wordlen: int = 8, g_max: float = 0.3,
+                 sensitivity: float = 0.99):
+        assert len(seqs) >= 2
+        self.seqs = seqs
+        self.wordlen = int(wordlen)
+        self.g_max = float(g_max)
+        self.sensitivity = float(sensitivity)
+        self.seed_index = SeedIndexMultiple(*seqs, wordlen=wordlen)
+
+    def band_radius(self, K) -> int:
+        return int(band_radius(K, self.g_max, self.sensitivity))
+
+    def estimate_match_probability(self, num_seeds, seglen) -> float:
+        # N-way seed survives in all N sequences: E[n] ≈ K p^((N-1) w)
+        n_other = len(self.seqs) - 1
+        n = max(float(num_seeds), 0.0)
+        K = max(float(seglen), 1.0)
+        return float(np.clip(
+            (n / K) ** (1.0 / (self.wordlen * n_other)), 0.0, 1.0
+        ))
+
+    def similar_segments(self, K_min: int, p_min: float) -> Iterable[Dict]:
+        """Cluster N-way seeds by their diagonal tuple + antidiagonal cell.
+
+        Yields ``{'segment': (((d_lo, d_hi),) * (N-1), (a_min, a_max)),
+        'p': p̂, 'num_seeds': n}``.
+        """
+        seeds = self.seed_index.seeds()
+        if not seeds:
+            return
+        r = self.band_radius(K_min)
+        acell = max(2 * K_min, 2)
+        buckets: Dict[tuple, list] = {}
+        for tup in seeds:
+            i0 = tup[0]
+            ds = tuple((i0 - p) // max(r, 1) for p in tup[1:])
+            a = i0 + tup[1]
+            buckets.setdefault(ds, []).append((tup, a))
+        for ds, members in buckets.items():
+            members.sort(key=lambda m: m[1])
+            # split into antidiagonal runs with gaps > 2*acell
+            run = [members[0]]
+            runs = []
+            for m in members[1:]:
+                if m[1] - run[-1][1] > 2 * acell:
+                    runs.append(run)
+                    run = []
+                run.append(m)
+            runs.append(run)
+            for run in runs:
+                a_lo, a_hi = run[0][1], run[-1][1]
+                seglen = max((a_hi - a_lo) / 2.0, float(self.wordlen))
+                if seglen < K_min:
+                    continue
+                n = len(run)
+                p_hat = self.estimate_match_probability(n, seglen)
+                if p_hat < p_min:
+                    continue
+                d_bands = tuple(
+                    (d * max(r, 1) - r, (d + 1) * max(r, 1) + r)
+                    for d in ds
+                )
+                yield {
+                    "segment": (d_bands, (int(a_lo), int(a_hi))),
+                    "p": p_hat,
+                    "num_seeds": n,
+                }

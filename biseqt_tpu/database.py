@@ -1,0 +1,270 @@
+"""Sequence database: SQLite-metadata + packed-array store, FASTA ingest.
+
+Rebuild of ``biseqt/database.py — DB, Record`` with the same contract
+(content-addressed records, JSON attrs, FASTA ingestion with optional
+reverse-complement records, event hooks) but a TPU-era storage split:
+
+  * metadata (ids, names, source positions, attrs) lives in SQLite —
+    stdlib, transactional, perfectly good for host-side bookkeeping;
+  * sequence *contents* are stored as packed int8 code arrays in a sidecar
+    ``.npz`` pool so the compute path can memory-map straight into
+    device-ready buffers instead of re-parsing text (the reference stored
+    letter text in SQLite rows and re-parsed on every load).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+from collections import namedtuple
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from .sequence import Alphabet, NamedSequence, Sequence
+
+__all__ = ["DB", "Record", "read_fasta", "write_fasta"]
+
+
+Record = namedtuple(
+    "Record", ["id", "content_id", "source_file", "source_pos", "attrs"]
+)
+"""A stored sequence's metadata row (mirrors the reference's Record)."""
+
+
+def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
+    """Lazily parse FASTA; yields ``(NamedSequence, pos)`` tuples.
+
+    ``pos`` is the byte offset of the record's header line.  Letters not in
+    the alphabet raise ValueError (parity with the reference's strictness).
+    """
+    own = False
+    f = path_or_file
+    if isinstance(path_or_file, str):
+        f = open(path_or_file, "r")
+        own = True
+    try:
+        name, chunks, pos, count = None, [], 0, 0
+        offset = 0
+        line_start = 0
+        for line in f:
+            line_start = offset
+            offset += len(line)
+            line_s = line.strip()
+            if line_s.startswith(">"):
+                if name is not None:
+                    yield _mk_named(alphabet, name, chunks), pos
+                    count += 1
+                    if 0 <= num == count:
+                        return
+                name = line_s[1:].split()[0] if len(line_s) > 1 else ""
+                chunks = []
+                pos = line_start
+            elif line_s:
+                chunks.append(line_s)
+        if name is not None:
+            yield _mk_named(alphabet, name, chunks), pos
+    finally:
+        if own:
+            f.close()
+
+
+def _mk_named(alphabet, name, chunks):
+    seq = alphabet.parse("".join(chunks).upper())
+    return NamedSequence(alphabet, seq.contents, name=name)
+
+
+def write_fasta(f, seqs: Iterable[Sequence], width: int = 80):
+    """Write sequences as FASTA (names used when present)."""
+    own = False
+    if isinstance(f, str):
+        f = open(f, "w")
+        own = True
+    try:
+        for k, s in enumerate(seqs):
+            name = getattr(s, "name", "") or ("seq%d" % k)
+            f.write(">%s\n" % name)
+            txt = str(s)
+            for off in range(0, len(txt), width):
+                f.write(txt[off:off + width] + "\n")
+    finally:
+        if own:
+            f.close()
+
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS sequence (
+  id INTEGER PRIMARY KEY AUTOINCREMENT,
+  content_id VARCHAR UNIQUE,
+  name VARCHAR,
+  length INTEGER,
+  source_file VARCHAR,
+  source_pos INTEGER,
+  attrs VARCHAR
+);
+"""
+
+
+class DB:
+    """A database of sequences (mirrors ``biseqt/database.py — DB``).
+
+    Args:
+        path: SQLite file path, or ``':memory:'`` for tests (the
+            reference's universal fixture).  The packed-contents pool sits
+            next to it at ``<path>.seqs/`` (skipped for in-memory DBs,
+            where contents stay in a dict).
+        alphabet: the alphabet all stored sequences must use.
+
+    Event hooks: ``add_event_listener('db-initialized' | 'sequence-inserted',
+    fn)`` — e.g. a :class:`biseqt_tpu.kmers.KmerIndex` can subscribe so
+    ingestion triggers indexing, as in the reference.
+    """
+
+    events = ("db-initialized", "sequence-inserted")
+
+    def __init__(self, path: str, alphabet: Alphabet):
+        assert isinstance(alphabet, Alphabet)
+        self.path = path
+        self.alphabet = alphabet
+        self._listeners: Dict[str, List[Callable]] = {
+        e: [] for e in self.events}
+        self._memory = path == ":memory:"
+        self._pool_dir = None if self._memory else path + ".seqs"
+        self._mem_pool: Dict[str, np.ndarray] = {}
+        self._conn = sqlite3.connect(path)
+        self._conn.executescript(_SCHEMA)
+        self._conn.commit()
+        if not self._memory:
+            os.makedirs(self._pool_dir, exist_ok=True)
+        self._emit("db-initialized", self)
+
+    # -- events ---------------------------------------------------------------
+    def add_event_listener(self, event: str, fn: Callable):
+        assert event in self.events, "unknown event %r" % event
+        self._listeners[event].append(fn)
+
+    def _emit(self, event, *args):
+        for fn in self._listeners[event]:
+            fn(*args)
+
+    # -- inserts --------------------------------------------------------------
+    def insert(self, seq: Sequence, source_file: str = None,
+               source_pos: int = 0, attrs: dict = None) -> Optional[Record]:
+        """Insert a sequence; returns its Record (None if already present).
+
+        Identity is the content id — inserting the same content twice is a
+        no-op, making ingestion idempotent/resumable (the role the
+        reference's unique constraint played).
+        """
+        cid = seq.content_id
+        attrs = dict(attrs or {})
+        name = getattr(seq, "name", None)
+        if name and "name" not in attrs:
+            attrs["name"] = name
+        cur = self._conn.cursor()
+        try:
+            cur.execute(
+                "INSERT INTO sequence "
+                "(content_id, name, length, source_file, source_pos, attrs) "
+                "VALUES (?, ?, ?, ?, ?, ?)",
+                (cid, name, len(seq), source_file, source_pos,
+                 json.dumps(attrs)),
+            )
+        except sqlite3.IntegrityError:
+            return None
+        self._conn.commit()
+        self._store_contents(cid, seq)
+        rec = Record(
+            id=cur.lastrowid, content_id=cid, source_file=source_file,
+            source_pos=source_pos, attrs=attrs,
+        )
+        self._emit("sequence-inserted", self, rec, seq)
+        return rec
+
+    def load_fasta(self, path_or_file, num: int = -1, rc: bool = False,
+                   source_file: str = None) -> List[Record]:
+        """Ingest a FASTA file; optionally also insert reverse complements.
+
+        ``rc=True`` mirrors the reference's option of storing each record's
+        reverse complement (attrs carry ``rc_of`` pointing at the forward
+        record's content id).  DNA-complement mapping ['AT', 'CG'] is
+        assumed for rc.
+        """
+        if source_file is None and isinstance(path_or_file, str):
+            source_file = path_or_file
+        out = []
+        for seq, pos in read_fasta(path_or_file, self.alphabet, num=num):
+            rec = self.insert(seq, source_file=source_file, source_pos=pos)
+            if rec is not None:
+                out.append(rec)
+            if rc:
+                rcseq = seq.reverse().transform(
+                    ["AT", "CG"], name="(rc of %s)" % seq.name
+                )
+                rrec = self.insert(
+                    rcseq, source_file=source_file, source_pos=pos,
+                    attrs={"rc_of": seq.content_id},
+                )
+                if rrec is not None:
+                    out.append(rrec)
+        return out
+
+    # -- queries --------------------------------------------------------------
+    def find(self, condition: Callable[[Record], bool] = None,
+             sql_condition: str = None) -> Iterable[Record]:
+        """Iterate records, optionally filtered by a predicate or SQL."""
+        q = ("SELECT id, content_id, source_file, source_pos, attrs "
+             "FROM sequence")
+        if sql_condition:
+            q += " WHERE " + sql_condition
+        for row in self._conn.execute(q):
+            rec = Record(
+                id=row[0], content_id=row[1], source_file=row[2],
+                source_pos=row[3], attrs=json.loads(row[4] or "{}"),
+            )
+            if condition is None or condition(rec):
+                yield rec
+
+    def ids(self):
+        return [r.id for r in self.find()]
+
+    def load_from_record(self, rec: Record) -> NamedSequence:
+        """Materialize a Record's sequence from the packed pool."""
+        codes = self._load_contents(rec.content_id)
+        name = rec.attrs.get("name", "")
+        return NamedSequence(
+            self.alphabet, [int(c) for c in codes], name=name or ""
+        )
+
+    def __len__(self):
+        return self._conn.execute(
+            "SELECT COUNT(*) FROM sequence"
+        ).fetchone()[0]
+
+    def close(self):
+        self._conn.close()
+
+    # -- packed-contents pool -------------------------------------------------
+    def _store_contents(self, cid: str, seq: Sequence):
+        arr = seq.to_array(np.int8)
+        if self._memory:
+            self._mem_pool[cid] = arr
+        else:
+            np.save(os.path.join(self._pool_dir, cid + ".npy"), arr)
+
+    def _load_contents(self, cid: str) -> np.ndarray:
+        if self._memory:
+            return self._mem_pool[cid]
+        return np.load(os.path.join(self._pool_dir, cid + ".npy"))
+
+    # -- bulk device lowering -------------------------------------------------
+    def packed_batch(self, records: Iterable[Record] = None,
+                     pad_to: int = None):
+        """All (or given) records as a packed (codes, lengths) batch —
+        the direct input to :mod:`biseqt_tpu.ops` pipelines."""
+        from .sequence import pack_sequences
+
+        recs = list(records) if records is not None else list(self.find())
+        seqs = [self.load_from_record(r) for r in recs]
+        return pack_sequences(seqs, pad_to=pad_to), recs

@@ -67,26 +67,43 @@ class DPResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# shared row update
+# shared row update (pure jnp on [B, W] blocks — used verbatim by both the
+# lax.scan backend and the Pallas TPU kernel, so there is exactly one
+# implementation of the recurrence to test)
 # ---------------------------------------------------------------------------
+
+def shift_lanes(x, by: int, fill):
+    """Shift along the lane (last) axis; vacated lanes get ``fill``.
+
+    ``by > 0`` moves values toward higher lanes (lane k reads k - by).
+    Implemented as roll+mask — lowers cleanly in both XLA and Mosaic.
+    """
+    if by == 0:
+        return x
+    W = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    r = jnp.roll(x, by, axis=-1)
+    mask = (lane >= by) if by > 0 else (lane < W + by)
+    return jnp.where(mask, r, fill)
+
+
+def prefix_max(x):
+    """Inclusive prefix max along lanes via log-shifts (Pallas-safe)."""
+    W = x.shape[-1]
+    s = 1
+    while s < W:
+        x = jnp.maximum(x, shift_lanes(x, s, NEG))
+        s *= 2
+    return x
+
 
 def _shift_from_above(x, up_shift: int):
     """Value of lane k's 'up' predecessor from the previous row vector."""
-    if up_shift == 0:
-        return x
-    return jnp.concatenate(
-        [x[:, up_shift:], jnp.full((x.shape[0], up_shift), NEG, x.dtype)],
-        axis=1,
-    )
+    return shift_lanes(x, -up_shift, NEG) if up_shift else x
 
 
 def _shift_diag(x, diag_shift: int):
-    if diag_shift == 0:
-        return x
-    return jnp.concatenate(
-        [jnp.full((x.shape[0], diag_shift), NEG, x.dtype), x[:, :-diag_shift]],
-        axis=1,
-    )
+    return shift_lanes(x, diag_shift, NEG) if diag_shift else x
 
 
 def _row_update(H_prev, F_prev, sub_score, cell_valid, j_idx,
@@ -101,7 +118,7 @@ def _row_update(H_prev, F_prev, sub_score, cell_valid, j_idx,
     ``cell_valid``: mask of cells (i, j) with 0 <= j <= LT and row valid.
     """
     B, W = H_prev.shape
-    karange = jnp.arange(W, dtype=jnp.float32)[None, :]
+    karange = jax.lax.broadcasted_iota(jnp.float32, (B, W), 1)
 
     diag_cand = _shift_diag(H_prev, diag_shift) + sub_score
     F_open = _shift_from_above(H_prev, up_shift) + (go + ge)
@@ -116,9 +133,8 @@ def _row_update(H_prev, F_prev, sub_score, cell_valid, j_idx,
     H_pre = jnp.where(cell_valid, H_pre, NEG)
 
     # E scan: E[k] = ge*k + cummax_m(A[m]), A[m] = H_pre[m-1] + go + ge*(1-m)
-    A = jnp.concatenate([jnp.full((B, 1), NEG), H_pre[:, :-1]], axis=1)
-    A = A + (go + ge) - ge * karange
-    P = jax.lax.cummax(A, axis=1)
+    A = shift_lanes(H_pre, 1, NEG) + (go + ge) - ge * karange
+    P = prefix_max(A)
     E = P + ge * karange
     E = jnp.where(cell_valid, E, NEG)
 
@@ -137,8 +153,7 @@ def _row_update(H_prev, F_prev, sub_score, cell_valid, j_idx,
             d = jnp.where(
                 (j_idx == 0) & (H == 0.0) & (F_new < 0.0), jnp.uint8(0), d
             )
-        e_ext = (P == jnp.concatenate(
-            [jnp.full((B, 1), NEG), P[:, :-1]], axis=1)).astype(jnp.uint8)
+        e_ext = (P == shift_lanes(P, 1, NEG)).astype(jnp.uint8)
         f_ext = (F_new == F_ext).astype(jnp.uint8)
         dirs = d | (e_ext << 2) | (f_ext << 3)
         dirs = jnp.where(cell_valid, dirs, jnp.uint8(0))

@@ -1,0 +1,117 @@
+"""Device-side Word-Blot statistics: grid histograms, band scores.
+
+The compute tier under :mod:`biseqt_tpu.blot`.  The reference scored
+candidate bands by per-band SQL seed counts and scipy KDTree neighbor
+queries (``biseqt/blot.py — WordBlot.score_seeds/similar_segments``); here
+the same statistics come from dense (diagonal, antidiagonal) bucket grids:
+
+  * one scatter-add builds a (d-cell, a-cell) histogram of seeds,
+  * a 3x3 shifted-sum gives every cell its band-neighborhood count
+    (the KDTree-radius-query replacement — O(seeds) total, vectorized),
+  * per-diagonal counts + prefix sums give O(1) sliding-band sums for
+    overlap detection.
+
+All functions are jit-safe with static grid shapes and run equally on CPU
+(tests) and TPU (pipelines); the segment-assembly tail (connected
+components over a few thousand occupied cells) stays on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "grid_counts", "box_sum3", "sliding_band_sums",
+    "h0_h1_scores", "estimate_match_probability",
+]
+
+
+@partial(jax.jit, static_argnames=("n_dcells", "n_acells"))
+def grid_counts(d_cells, a_cells, valid, n_dcells: int, n_acells: int):
+    """Histogram seeds into a (d-cell, a-cell) grid via scatter-add.
+
+    ``d_cells``/``a_cells``: int32 [N] quantized coordinates; ``valid``
+    masks padded slots.  Returns int32 [n_dcells, n_acells].
+    """
+    d = jnp.clip(d_cells, 0, n_dcells - 1)
+    a = jnp.clip(a_cells, 0, n_acells - 1)
+    flat = d * n_acells + a
+    ones = valid.astype(jnp.int32)
+    g = jnp.zeros((n_dcells * n_acells,), jnp.int32).at[flat].add(ones)
+    return g.reshape(n_dcells, n_acells)
+
+
+@jax.jit
+def box_sum3(grid):
+    """3x3 neighborhood sum (replaces per-seed KDTree radius queries).
+
+    With d-cell size = band radius r and a-cell size = segment window, the
+    3x3 window around a seed's cell covers its (±r, ±window) neighborhood
+    up to quantization — the same statistic Word-Blot thresholds.
+    """
+    D, A = grid.shape
+    padded = jnp.pad(grid, ((1, 1), (1, 1)))
+    out = jnp.zeros_like(grid)
+    for dd in (0, 1, 2):
+        for da in (0, 1, 2):
+            out = out + padded[dd:dd + D, da:da + A]
+    return out
+
+
+@jax.jit
+def sliding_band_sums(diag_counts, radius):
+    """Seed count of every diagonal band [d - r, d + r] via prefix sums.
+
+    ``diag_counts``: int32 [D] per-diagonal seed counts.  Returns int32 [D]
+    window sums — O(D) total, the overlap-mode candidate scorer.
+    """
+    c = jnp.cumsum(diag_counts)
+    D = diag_counts.shape[0]
+    idx = jnp.arange(D)
+    hi = jnp.clip(idx + radius, 0, D - 1)
+    lo = jnp.clip(idx - radius - 1, -1, D - 1)
+    return c[hi] - jnp.where(lo >= 0, c[lo], 0)
+
+
+def h0_h1_scores(num_seeds, area, seglen, p_match, wordlen: int,
+                 alphabet_len: int = 4):
+    """Log-likelihood scores of a band's seed count under H0/H1.
+
+    The core Word-Blot statistic (``biseqt/blot.py — WordBlot.
+    score_num_seeds``):
+
+      * H0 (unrelated): seeds fall in the band area at the background rate
+        ``|Σ|^-w`` — n ~ Binomial(area, |Σ|^-w).  S0 = -log P(N >= n | H0):
+        big S0 ⟹ the count is inexplicable by chance ⟹ related.
+      * H1 (related, match prob p): a segment of ``seglen`` alignment
+        columns contributes ~ seglen * p^w seeds (plus background).
+        S1 = -log P(N >= n | H1): small S1 ⟹ consistent with a homology
+        at match probability ``p_match``.
+
+    Normal approximations with stable log-tails; vectorized.
+    """
+    from ..stochastics import binomial_to_normal, normal_neg_log_pvalue
+
+    num_seeds = jnp.asarray(num_seeds, jnp.float32)
+    p0 = jnp.float32(alphabet_len) ** jnp.float32(-wordlen)
+    mu0, sd0 = binomial_to_normal(jnp.asarray(area, jnp.float32), p0)
+    s0 = normal_neg_log_pvalue(mu0, sd0, num_seeds)
+
+    pw_ = jnp.asarray(p_match, jnp.float32) ** wordlen
+    mu1, sd1 = binomial_to_normal(jnp.asarray(seglen, jnp.float32), pw_)
+    sd1 = jnp.maximum(sd1, 1.0)
+    s1 = normal_neg_log_pvalue(mu1, sd1, num_seeds)
+    return s0, s1
+
+
+def estimate_match_probability(num_seeds, seglen, wordlen: int):
+    """p̂ = (n / K)^(1/w): invert E[seeds] ≈ K p^w.
+
+    (``biseqt/blot.py — WordBlot.estimate_match_probability``.)
+    """
+    n = jnp.asarray(num_seeds, jnp.float32)
+    K = jnp.maximum(jnp.asarray(seglen, jnp.float32), 1.0)
+    return jnp.clip((n / K) ** (1.0 / wordlen), 0.0, 1.0)

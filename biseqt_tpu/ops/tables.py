@@ -64,7 +64,6 @@ def kmer_keys(codes, lengths, wordlen: int, alphabet_len: int = 4):
     for t in range(wordlen):
         # codes shifted left by t; out-of-range becomes 0 (masked later)
         shifted = jnp.pad(c[:, t:], ((0, 0), (0, t)))
-        key = key * alphabet_len + 0  # keep ordering of accumulation explicit
         key = key + shifted * (alphabet_len ** (wordlen - 1 - t))
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = pos + wordlen <= lengths[:, None]

@@ -111,10 +111,10 @@ class SeedIndex:
     def seed_count(self, d_band: Tuple[int, int] = None,
                    a_band: Tuple[int, int] = None) -> int:
         """Number of seeds with d in d_band and a in a_band (inclusive)."""
-        lo, hi = self._range(d_band, a_band)
-        return int(hi - lo) if a_band is None else self._count_2d(
-            d_band, a_band
-        )
+        if a_band is None:
+            lo, hi = self._range(d_band, None)
+            return int(hi - lo)
+        return self._count_2d(d_band, a_band)
 
     def seeds(self, d_band=None, a_band=None) -> List[Seed]:
         """Seeds (i, j), optionally band-restricted; sorted by (d, a)."""
@@ -151,6 +151,12 @@ class SeedIndex:
         d_lo = self.d_(d_band[0]) if d_band else 0
         d_hi = self.d_(d_band[1]) if d_band else self._acap - 1
         a_lo, a_hi = (a_band if a_band else (0, self._acap - 1))
+        # clamp to the composite key's stride so a-ranges never bleed into
+        # the next diagonal's key space
+        a_lo = max(int(a_lo), 0)
+        a_hi = min(int(a_hi), self._acap - 1)
+        if a_hi < a_lo:
+            return 0
         # per-diagonal counts via composite-key searchsorted, vectorized
         ds = np.arange(d_lo, d_hi + 1, dtype=np.int64)
         lo = np.searchsorted(self._comp, ds * self._acap + a_lo, "left")

@@ -1,0 +1,104 @@
+"""DB tests against :memory: SQLite (ref strategy: tests/test_database.py)."""
+
+import io
+
+import pytest
+
+from biseqt_tpu.sequence import Alphabet, NamedSequence
+from biseqt_tpu.database import DB, Record, read_fasta, write_fasta
+from biseqt_tpu.stochastics import rand_seq
+
+A4 = Alphabet("ACGT")
+
+FASTA = """>chr1 description here
+ACGTACGTAC
+GTACGT
+>chr2
+TTTTGGGG
+"""
+
+
+def test_read_fasta():
+    recs = list(read_fasta(io.StringIO(FASTA), A4))
+    assert len(recs) == 2
+    (s1, p1), (s2, p2) = recs
+    assert s1.name == "chr1" and str(s1) == "ACGTACGTACGTACGT"
+    assert s2.name == "chr2" and str(s2) == "TTTTGGGG"
+    assert p1 == 0 and p2 > 0
+    # num limit
+    assert len(list(read_fasta(io.StringIO(FASTA), A4, num=1))) == 1
+
+
+def test_write_read_roundtrip(tmp_path):
+    seqs = [NamedSequence(A4, rand_seq(A4, 50, rng=7).contents, name="a"),
+            NamedSequence(A4, rand_seq(A4, 33, rng=8).contents, name="b")]
+    p = str(tmp_path / "out.fa")
+    write_fasta(p, seqs, width=20)
+    back = [s for s, _ in read_fasta(p, A4)]
+    assert back == seqs
+
+
+def test_insert_and_find():
+    db = DB(":memory:", A4)
+    s = NamedSequence(A4, A4.parse("ACGTACGT").contents, name="x")
+    rec = db.insert(s, attrs={"k": 1})
+    assert isinstance(rec, Record)
+    assert rec.content_id == s.content_id
+    # duplicate insert is a no-op
+    assert db.insert(s) is None
+    assert len(db) == 1
+    found = list(db.find())
+    assert found[0].content_id == s.content_id
+    assert found[0].attrs["k"] == 1
+    # contents round-trip through the packed pool
+    assert db.load_from_record(found[0]) == s
+
+
+def test_load_fasta_and_events():
+    db = DB(":memory:", A4)
+    seen = []
+    db.add_event_listener(
+        "sequence-inserted", lambda db_, rec, seq: seen.append(seq.name)
+    )
+    recs = db.load_fasta(io.StringIO(FASTA))
+    assert len(recs) == 2
+    assert seen == ["chr1", "chr2"]
+    assert {r.attrs["name"] for r in recs} == {"chr1", "chr2"}
+
+
+def test_load_fasta_rc():
+    db = DB(":memory:", A4)
+    recs = db.load_fasta(io.StringIO(">a\nAACG\n"), rc=True)
+    assert len(recs) == 2
+    fwd, rc = recs
+    rc_seq = db.load_from_record(rc)
+    assert str(rc_seq) == "CGTT"
+    assert rc.attrs["rc_of"] == fwd.content_id
+
+
+def test_on_disk_db(tmp_path):
+    p = str(tmp_path / "db.sqlite")
+    db = DB(p, A4)
+    s = A4.parse("ACGTACGTAA")
+    db.insert(s)
+    db.close()
+    db2 = DB(p, A4)
+    recs = list(db2.find())
+    assert len(recs) == 1
+    assert db2.load_from_record(recs[0]).contents == s.contents
+
+
+def test_packed_batch():
+    db = DB(":memory:", A4)
+    db.load_fasta(io.StringIO(FASTA))
+    (codes, lengths), recs = db.packed_batch()
+    assert codes.shape[0] == 2
+    assert lengths.tolist() == [16, 8]
+
+
+def test_find_sql_condition():
+    db = DB(":memory:", A4)
+    db.load_fasta(io.StringIO(FASTA))
+    out = list(db.find(sql_condition="length > 10"))
+    assert len(out) == 1
+    assert out[0].attrs["name"] == "chr1"

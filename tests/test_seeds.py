@@ -1,0 +1,96 @@
+"""Seed index tests (ref strategy: tests/test_seeds.py)."""
+
+import numpy as np
+import pytest
+
+from biseqt_tpu.sequence import Alphabet
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.seeds import SeedIndex, SeedIndexMultiple, Seed
+from biseqt_tpu.kmers import as_kmer_seq
+
+A4 = Alphabet("ACGT")
+
+
+def brute_force_seeds(S, T, w):
+    out = set()
+    ks = as_kmer_seq(S, w)
+    kt = as_kmer_seq(T, w)
+    for i, a in enumerate(ks):
+        for j, b in enumerate(kt):
+            if a == b:
+                out.add((i, j))
+    return out
+
+
+def test_seed_enumeration_matches_bruteforce(rng):
+    for trial in range(4):
+        S = rand_seq(A4, 60 + 10 * trial, rng=rng)
+        T = rand_seq(A4, 50 + 10 * trial, rng=rng)
+        idx = SeedIndex(S, T, wordlen=3)
+        got = set((s.i, s.j) for s in idx.seeds())
+        assert got == brute_force_seeds(S, T, 3), trial
+        assert len(idx) == len(got)
+
+
+def test_identity_seeds_on_diagonal(rng):
+    S = rand_seq(A4, 80, rng=rng)
+    idx = SeedIndex(S, S, wordlen=8)
+    # the main diagonal must contain all |S|-w+1 trivial self-seeds
+    n_diag = idx.seed_count(d_band=(0, 0))
+    assert n_diag == len(S) - 8 + 1
+    # d_band query excludes off-diagonal seeds correctly
+    total = idx.seed_count()
+    off = idx.seed_count(d_band=(1, len(S)))
+    neg = idx.seed_count(d_band=(-len(S), -1))
+    assert n_diag + off + neg == total
+
+
+def test_band_queries(rng):
+    S = rand_seq(A4, 100, rng=rng)
+    M = MutationProcess(A4, subst_probs=0.1, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    T, _ = M.mutate(S)
+    idx = SeedIndex(S, T, wordlen=6)
+    # seeds from the homology concentrate near d=0
+    near = idx.seed_count(d_band=(-15, 15))
+    assert near >= 5
+    # a_band intersects d_band consistently
+    n_both = idx.seed_count(d_band=(-15, 15), a_band=(0, 100))
+    n_rest = idx.seed_count(d_band=(-15, 15), a_band=(101, 400))
+    assert n_both + n_rest == near
+    # seeds() respects bands
+    for s in idx.seeds(d_band=(-15, 15)):
+        assert -15 <= s.i - s.j <= 15
+
+
+def test_seed_count_by_diagonal(rng):
+    S = rand_seq(A4, 60, rng=rng)
+    idx = SeedIndex(S, S, wordlen=5)
+    counts = idx.seed_count_by_d_()
+    lt = len(S)
+    assert counts[lt] == len(S) - 4  # main diagonal at d_ = 0 + |T|
+    assert counts.sum() == len(idx)
+
+
+def test_seed_index_multiple(rng):
+    core = rand_seq(A4, 30, rng=rng)
+    M = MutationProcess(A4, subst_probs=0.05, go_prob=0.0, ge_prob=0.0,
+                        rng=rng)
+    seqs = []
+    for _ in range(3):
+        mut, _ = M.mutate(core)
+        seqs.append(rand_seq(A4, 20, rng=rng) + mut + rand_seq(A4, 20, rng=rng))
+    idx = SeedIndexMultiple(*seqs, wordlen=6)
+    assert len(idx) > 0
+    # every reported seed tuple is a real 3-way k-mer match
+    for tup in idx.seeds()[:20]:
+        kms = [
+            as_kmer_seq(seqs[n], 6)[tup[n]] for n in range(3)
+        ]
+        assert len(set(kms)) == 1
+
+
+def test_seed_namedtuple():
+    s = Seed(3, 5)
+    assert s.i == 3 and s.j == 5
+    assert s == (3, 5)
