@@ -251,14 +251,16 @@ class WordBlotOverlap(WordBlot):
     """
 
     def highest_scoring_overlap_band(self, p_min: float = 0.5,
-                                     min_score: float = 10.0) -> Dict:
+                                     min_score: float = 25.0) -> Dict:
         """Score every diagonal band, return the best overlap candidate.
 
         A candidate must be *significant*: its seed count must reject H0
         (unrelatedness) with S0 >= ``min_score`` neg-log-p — p̂ alone cannot
         discriminate because the 1/w-th root compresses background counts
-        toward ~0.5.  Among significant bands the one with the most
-        estimated matched columns (p̂ · K_d) wins.
+        toward ~0.5.  The default threshold includes a multiple-testing
+        allowance (|S|+|T| bands are scanned, so the null max of S0 grows
+        like log of that count).  Among significant bands the one with the
+        most estimated matched columns (p̂ · K_d) wins.
 
         Returns ``{'d_band': (d_lo, d_hi), 'p': p̂, 'score': (S0, S1),
         'expected_len': K_d}`` or None if no significant overlap exists.

@@ -43,7 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.float32(-1e30)  # finite -inf: avoids inf-inf NaNs in f32 math
+NEG = -1e30  # finite -inf (python float: safe to close over in kernels)
 
 __all__ = [
     "ModeFlags", "DPResult", "banded_dp", "full_dp", "traceback_path",
@@ -118,7 +118,9 @@ def _row_update(H_prev, F_prev, sub_score, cell_valid, j_idx,
     ``cell_valid``: mask of cells (i, j) with 0 <= j <= LT and row valid.
     """
     B, W = H_prev.shape
-    karange = jax.lax.broadcasted_iota(jnp.float32, (B, W), 1)
+    karange = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1).astype(
+        jnp.float32
+    )
 
     diag_cand = _shift_diag(H_prev, diag_shift) + sub_score
     F_open = _shift_from_above(H_prev, up_shift) + (go + ge)

@@ -1,0 +1,214 @@
+"""Sharded all-vs-all overlap discovery (the noisy-long-read config).
+
+The reference ran Word-Blot overlap detection pair-by-pair from Python
+(``biseqt/blot.py — WordBlotOverlap`` over every read pair); at N reads
+that is N^2 SQLite joins.  The TPU-native pipeline:
+
+  1. every read's k-mers are packed and per-read *sorted* once
+     (``jnp.sort`` along the read axis — the per-read mini-index);
+  2. reads shard across the mesh's ``data`` axis (shard_map);
+  3. each device all-gathers the target shards' sorted tables over ICI and
+     scores its query block against **all** reads: for each query k-mer a
+     binary search finds its hit run in the target's sorted table, and a
+     capped hit expansion scatter-adds into a per-pair *diagonal-bucket
+     histogram* — the banded seed-count statistic, no seed list ever
+     materialized;
+  4. sliding-window sums over diagonal buckets + the H0/H1 normal scores
+     give each pair's best overlap band, p̂ and significance — a dense
+     [Nq, N] result matrix, psum-free and perfectly balanced.
+
+Everything is static-shape jit; scaling with chips is linear in rows of
+the N x N matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.tables import kmer_keys, KEY_SENTINEL
+from .mesh import DATA_AXIS, make_mesh
+
+__all__ = ["all_vs_all_overlaps", "overlap_matrix_sharded"]
+
+
+def _pair_diag_histogram(q_keys, t_sorted_keys, t_sorted_pos,
+                         nbins: int, bucket: int, lt_off: int,
+                         max_hits: int):
+    """Diagonal-bucket seed histogram for one (query, target) pair.
+
+    q_keys: [L] int32 (sentinel for invalid windows);
+    t_sorted_keys/t_sorted_pos: [L] the target's sorted k-mer mini-index.
+    Returns [nbins] int32: count of seeds whose diagonal d = i - j falls in
+    each bucket of width ``bucket`` (diagonals shifted by ``lt_off``).
+    """
+    L = q_keys.shape[0]
+    lo = jnp.searchsorted(t_sorted_keys, q_keys, side="left")
+    hi = jnp.searchsorted(t_sorted_keys, q_keys, side="right")
+    ii = jnp.arange(L, dtype=jnp.int32)
+    counts = jnp.zeros((nbins,), jnp.int32)
+    for h in range(max_hits):
+        idx = lo + h
+        valid = (idx < hi) & (q_keys != KEY_SENTINEL)
+        j = t_sorted_pos[jnp.clip(idx, 0, L - 1)]
+        d = ii - j + lt_off
+        b = jnp.clip(d // bucket, 0, nbins - 1)
+        counts = counts.at[b].add(valid.astype(jnp.int32))
+    return counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wordlen", "alphabet_len", "bucket", "max_hits"),
+)
+def overlap_stats_block(q_codes, q_lens, t_codes, t_lens, *,
+                        wordlen: int, alphabet_len: int = 4,
+                        bucket: int = 32, max_hits: int = 4):
+    """Best-overlap statistics for every (query, target) pair of a block.
+
+    Args:
+        q_codes: int8 [Nq, L]; t_codes: int8 [Nt, L] (same padded L).
+
+    Returns dict of [Nq, Nt] arrays: ``num_seeds`` (best band seed count),
+    ``diag`` (best band center diagonal), ``p`` (match-prob estimate),
+    ``s0`` (H0 rejection score), ``olap_len`` (expected overlap columns).
+    """
+    from ..ops import blot_stats
+
+    Nq, L = q_codes.shape
+    Nt = t_codes.shape[0]
+    nbins = (2 * L) // bucket + 1
+
+    qk = kmer_keys(q_codes, q_lens, wordlen, alphabet_len)
+    tk = kmer_keys(t_codes, t_lens, wordlen, alphabet_len)
+    t_sorted_keys, t_sorted_pos = jax.lax.sort(
+        (tk, jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None, :], tk.shape
+        )),
+        dimension=1, num_keys=1,
+    )
+
+    hist_fn = functools.partial(
+        _pair_diag_histogram, nbins=nbins, bucket=bucket, lt_off=L,
+        max_hits=max_hits,
+    )
+    # vmap over targets, then queries -> [Nq, Nt, nbins]
+    per_q = jax.vmap(
+        lambda qrow: jax.vmap(
+            lambda tsk, tsp: hist_fn(qrow, tsk, tsp)
+        )(t_sorted_keys, t_sorted_pos)
+    )
+    hists = per_q(qk)
+
+    # 3-bucket sliding window over diagonals = band of width ~3*bucket
+    padded = jnp.pad(hists, ((0, 0), (0, 0), (1, 1)))
+    window = padded[:, :, :-2] + padded[:, :, 1:-1] + padded[:, :, 2:]
+
+    # per-bucket expected overlap length (columns) from band center diagonal
+    centers = (jnp.arange(nbins) * bucket + bucket // 2) - L  # true d
+    ls = q_lens[:, None, None].astype(jnp.float32)
+    lt = t_lens[None, :, None].astype(jnp.float32)
+    d = centers[None, None, :].astype(jnp.float32)
+    olap = jnp.maximum(
+        jnp.minimum(jnp.minimum(ls - d, lt + d), jnp.minimum(ls, lt)), 0.0
+    )
+    seglen = jnp.maximum(olap, 1.0)
+
+    w = window.astype(jnp.float32)
+    p_hat = blot_stats.estimate_match_probability(w, seglen, wordlen)
+    area = (3.0 * bucket) * seglen
+    s0, _ = blot_stats.h0_h1_scores(
+        w, area, seglen, jnp.maximum(p_hat, 1e-3), wordlen, alphabet_len
+    )
+    # rank bands by estimated matched columns among plausible overlaps
+    ok = olap >= 2.0 * wordlen
+    rank = jnp.where(ok, p_hat * seglen, -1.0)
+    best = jnp.argmax(rank, axis=2)
+
+    take = lambda arr: jnp.take_along_axis(
+        arr, best[:, :, None], axis=2
+    )[:, :, 0]
+    return {
+        "num_seeds": take(window),
+        "diag": jnp.take(centers, best).astype(jnp.int32),
+        "p": take(p_hat),
+        "s0": take(s0),
+        "olap_len": take(olap).astype(jnp.int32),
+    }
+
+
+def overlap_matrix_sharded(codes, lengths, *, wordlen: int = 8,
+                           alphabet_len: int = 4, bucket: int = 32,
+                           max_hits: int = 4, mesh=None):
+    """All-vs-all overlap statistics, reads sharded over the mesh.
+
+    Each device scores its query row-block against the full read set
+    (target tables arrive via all-gather on ICI — the "index-shard
+    all-gather" of the north star).  Returns dict of [N, N] host arrays.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    N, L = codes.shape
+    Np = ((N + n_data - 1) // n_data) * n_data
+    codes_p = np.full((Np, L), -1, np.int8)
+    codes_p[:N] = np.asarray(codes, np.int8)
+    lens_p = np.zeros((Np,), np.int32)
+    lens_p[:N] = np.asarray(lengths, np.int32)
+
+    stats_fn = functools.partial(
+        overlap_stats_block, wordlen=wordlen, alphabet_len=alphabet_len,
+        bucket=bucket, max_hits=max_hits,
+    )
+
+    def shard_fn(q_codes, q_lens):
+        # q_*: this device's query shard; gather the full target set
+        t_codes = jax.lax.all_gather(
+            q_codes, DATA_AXIS, axis=0, tiled=True
+        )
+        t_lens = jax.lax.all_gather(
+            q_lens, DATA_AXIS, axis=0, tiled=True
+        )
+        return stats_fn(q_codes, q_lens, t_codes, t_lens)
+
+    from jax import shard_map
+
+    spec_in = P(DATA_AXIS, None)
+    spec_vec = P(DATA_AXIS)
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_in, spec_vec),
+        out_specs={k: P(DATA_AXIS, None) for k in
+                   ("num_seeds", "diag", "p", "s0", "olap_len")},
+        check_vma=False,
+    )
+    out = jax.jit(fn)(jnp.asarray(codes_p), jnp.asarray(lens_p))
+    return {k: np.asarray(v)[:N, :N] for k, v in out.items()}
+
+
+def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
+                        min_score: float = 25.0, min_p: float = 0.5,
+                        **kw):
+    """Significant overlap pairs from the sharded matrix.
+
+    Returns a list of ``(q, t, diag, p, s0)`` with q < t, filtered by H0
+    rejection and match-probability thresholds (mirrors what the reference
+    pipeline extracted from per-pair WordBlotOverlap runs).
+    """
+    stats = overlap_matrix_sharded(codes, lengths, wordlen=wordlen, **kw)
+    N = stats["p"].shape[0]
+    out = []
+    for q in range(N):
+        for t in range(q + 1, N):
+            if (stats["s0"][q, t] >= min_score
+                    and stats["p"][q, t] >= min_p):
+                out.append((
+                    q, t, int(stats["diag"][q, t]),
+                    float(stats["p"][q, t]), float(stats["s0"][q, t]),
+                ))
+    return out

@@ -6,17 +6,21 @@ use).  Multi-chip sharding tests then see 8 devices without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices.  NOTE: this environment pre-imports
+# jax at interpreter startup (sitecustomize registers the TPU-tunnel
+# backend and sets jax_platforms=axon), so plain env vars are read too
+# late — the config must be updated through jax.config before any backend
+# initializes.  XLA_FLAGS is still read lazily at backend init, so the
+# host-device-count flag can go through the environment.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# persistent compile cache: compiles dominate test wall-time in this env
-_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,82 @@
+"""Pallas banded-DP kernel vs lax.scan engine (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biseqt_tpu.sequence import Alphabet, pack_sequences
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags
+from biseqt_tpu.ops.pallas_dp import banded_dp_pallas
+
+A4 = Alphabet("ACGT")
+
+FLAG_CASES = [
+    ModeFlags(),
+    ModeFlags(local_start=True, local_end=True),
+    ModeFlags(free_start_edges=True, free_end_edges=True),
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_pallas_matches_lax(rng, flags):
+    B = 4
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 150, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S)
+        ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=256)
+    t_codes, t_lens = pack_sequences(ts, pad_to=256)
+    W = 128
+    dmin = jnp.asarray([-(W // 2)] * B, jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags)
+    ref = banded_dp(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin, **kw
+    )
+    out = banded_dp_pallas(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+        interpret=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.score), np.asarray(ref.score), atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(out.end_i),
+                                  np.asarray(ref.end_i))
+    np.testing.assert_array_equal(np.asarray(out.end_j),
+                                  np.asarray(ref.end_j))
+
+
+def test_pallas_ragged_batch(rng):
+    """Different lengths + bands per pair, non-multiple batch size."""
+    B = 3
+    lens = [(100, 90), (50, 70), (128, 128)]
+    ss = [rand_seq(A4, a, rng=rng) for a, _ in lens]
+    ts = [rand_seq(A4, b, rng=rng) for _, b in lens]
+    s_codes, s_lens = pack_sequences(ss, pad_to=128)
+    t_codes, t_lens = pack_sequences(ts, pad_to=128)
+    W = 256
+    dmin = jnp.asarray([-100, -120, -60], jnp.int32)
+    w_eff = jnp.asarray([150, 200, 256], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 2.0, -3.0).astype(np.float32)
+    kw = dict(W=W, subst=subst, go=-4.0, ge=-1.0,
+              flags=ModeFlags(free_start_edges=True, free_end_edges=True))
+    ref = banded_dp(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+        w_eff=w_eff, **kw
+    )
+    out = banded_dp_pallas(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+        w_eff=w_eff, interpret=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.score), np.asarray(ref.score), atol=1e-3
+    )

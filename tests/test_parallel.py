@@ -1,0 +1,123 @@
+"""Mesh-parallel tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from biseqt_tpu.sequence import Alphabet, pack_sequences
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.parallel import make_mesh, all_vs_all_overlaps
+from biseqt_tpu.parallel.allvsall import overlap_matrix_sharded, overlap_stats_block
+from biseqt_tpu.parallel.sharded_dp import banded_dp_band_sharded
+from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags
+
+A4 = Alphabet("ACGT")
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["data"] == 8 and m.shape["band"] == 1
+    m2 = make_mesh(n_data=2, n_band=4)
+    assert m2.shape["data"] == 2 and m2.shape["band"] == 4
+
+
+def _reads_with_overlaps(rng, n_reads=8, glen=2000, rlen=600, err=0.1):
+    """Reads tiled over a genome with ~50% overlap between neighbors."""
+    M = MutationProcess(A4, subst_probs=err, go_prob=err / 3,
+                        ge_prob=err, rng=rng)
+    genome = rand_seq(A4, glen, rng=rng)
+    reads, starts = [], []
+    step = (glen - rlen) // (n_reads - 1)
+    for k in range(n_reads):
+        start = k * step
+        r, _ = M.mutate(genome[start:start + rlen])
+        reads.append(r)
+        starts.append(start)
+    return reads, starts
+
+
+def test_overlap_stats_block_finds_true_overlaps(rng):
+    reads, starts = _reads_with_overlaps(rng)
+    codes, lens = pack_sequences(reads, pad_to=768)
+    stats = overlap_stats_block(
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(codes), jnp.asarray(lens), wordlen=8,
+    )
+    s0 = np.asarray(stats["s0"])
+    diag = np.asarray(stats["diag"])
+    n = len(reads)
+    for q in range(n - 1):
+        t = q + 1  # neighbors overlap by ~rlen - step
+        assert s0[q, t] > 25, (q, t, s0[q, t])
+        true_d = starts[t] - starts[q]  # q's suffix matches t's prefix
+        assert abs(diag[q, t] - true_d) <= 64, (q, t, diag[q, t], true_d)
+    # far-apart reads don't overlap
+    assert s0[0, n - 1] < 25
+
+
+def test_overlap_matrix_sharded_matches_block(rng):
+    reads, _ = _reads_with_overlaps(rng)
+    codes, lens = pack_sequences(reads, pad_to=768)
+    mesh = make_mesh()
+    sharded = overlap_matrix_sharded(
+        codes, lens, wordlen=8, mesh=mesh
+    )
+    local = overlap_stats_block(
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(codes), jnp.asarray(lens), wordlen=8,
+    )
+    np.testing.assert_allclose(
+        sharded["s0"], np.asarray(local["s0"]), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        sharded["diag"], np.asarray(local["diag"])
+    )
+
+
+def test_all_vs_all_overlaps_pairs(rng):
+    reads, starts = _reads_with_overlaps(rng)
+    codes, lens = pack_sequences(reads, pad_to=768)
+    pairs = all_vs_all_overlaps(codes, lens, wordlen=8, min_p=0.4)
+    got = set((q, t) for q, t, *_ in pairs)
+    # all adjacent pairs must be found
+    for q in range(len(reads) - 1):
+        assert (q, q + 1) in got
+    # distant pairs must not
+    assert (0, len(reads) - 1) not in got
+
+
+def test_band_sharded_dp_matches_unsharded(rng):
+    B = 2
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 120, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S), ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=128)
+    t_codes, t_lens = pack_sequences(ts, pad_to=160)
+    W = 256
+    dmin = jnp.asarray([-128, -120], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes),
+            jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+            W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+        )
+        with mesh:
+            got = banded_dp_band_sharded(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+                W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                mesh=mesh,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
