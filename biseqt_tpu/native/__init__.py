@@ -1,0 +1,184 @@
+"""ctypes binding to the native host engine (libpwnative.so).
+
+The runtime-native tier of the framework: C++ banded affine DP +
+traceback + FASTA streaming packer.  Built on demand with ``make`` (g++)
+the first time it is imported; see ``pwnative.cpp`` for the ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = [
+    "available", "align", "traceback", "fasta_pack", "dna_code_map",
+    "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
+    "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
+]
+
+MODE_FREE_START_EDGES = 1
+MODE_LOCAL_START = 2
+MODE_FREE_END_EDGES = 4
+MODE_LOCAL_END = 8
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libpwnative.so")
+_lib = None
+
+
+def _build():
+    subprocess.run(
+        ["make", "-s", "-C", _HERE], check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+    )
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.bst_align.restype = ctypes.c_int
+    lib.bst_align.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_traceback.restype = ctypes.c_int
+    lib.bst_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_fasta_scan.restype = ctypes.c_int
+    lib.bst_fasta_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_fasta_pack.restype = ctypes.c_int64
+    lib.bst_fasta_pack.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _flags_of(mode_flags) -> int:
+    f = 0
+    if getattr(mode_flags, "free_start_edges", False):
+        f |= MODE_FREE_START_EDGES
+    if getattr(mode_flags, "local_start", False):
+        f |= MODE_LOCAL_START
+    if getattr(mode_flags, "free_end_edges", False):
+        f |= MODE_FREE_END_EDGES
+    if getattr(mode_flags, "local_end", False):
+        f |= MODE_LOCAL_END
+    return f
+
+
+def align(s, t, subst, go, ge, dmin, dmax, mode_flags, with_dirs=False):
+    """Native banded affine DP; same conventions as the JAX engine.
+
+    Returns ``(score, end_i, end_j, dirs_or_None)``.
+    """
+    lib = _load()
+    s = np.ascontiguousarray(s, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    subst = np.ascontiguousarray(subst, np.float32)
+    A = subst.shape[0]
+    W = int(dmax) - int(dmin) + 1
+    dirs = (
+        np.zeros((len(s), W), np.uint8) if with_dirs else None
+    )
+    score = ctypes.c_float()
+    ei = ctypes.c_int()
+    ej = ctypes.c_int()
+    rc = lib.bst_align(
+        s.ctypes.data, len(s), t.ctypes.data, len(t),
+        subst.ctypes.data, A, float(go), float(ge),
+        int(dmin), int(dmax), _flags_of(mode_flags),
+        ctypes.byref(score), ctypes.byref(ei), ctypes.byref(ej),
+        dirs.ctypes.data if dirs is not None else None,
+    )
+    assert rc == 0, "bst_align failed"
+    return float(score.value), int(ei.value), int(ej.value), dirs
+
+
+def traceback(dirs, dmax, s, t, end_i, end_j, mode_flags):
+    """Native traceback walk; returns (ops_str, start_i, start_j)."""
+    lib = _load()
+    dirs = np.ascontiguousarray(dirs, np.uint8)
+    W = dirs.shape[1]
+    s = np.ascontiguousarray(s, np.int8)
+    t = np.ascontiguousarray(t, np.int8)
+    buf = ctypes.create_string_buffer(len(s) + len(t) + 2)
+    si = ctypes.c_int()
+    sj = ctypes.c_int()
+    n = lib.bst_traceback(
+        dirs.ctypes.data, W, int(dmax),
+        s.ctypes.data, len(s), t.ctypes.data, len(t),
+        int(end_i), int(end_j), _flags_of(mode_flags),
+        buf, ctypes.byref(si), ctypes.byref(sj),
+    )
+    assert n >= 0, "bst_traceback failed"
+    return buf.value.decode("ascii"), int(si.value), int(sj.value)
+
+
+def dna_code_map(letters: str = "ACGT", lowercase: bool = True):
+    """256-entry byte -> code map for the FASTA packer (-1 = skip)."""
+    m = np.full((256,), -1, np.int8)
+    for i, ch in enumerate(letters):
+        m[ord(ch)] = i
+        if lowercase:
+            m[ord(ch.lower())] = i
+    return m
+
+
+def fasta_pack(path: str, code_map=None):
+    """Stream-parse FASTA into packed codes at C speed.
+
+    Returns ``(codes int8[total], offsets int64[n], lengths int64[n],
+    names list[str])``.
+    """
+    lib = _load()
+    if code_map is None:
+        code_map = dna_code_map()
+    code_map = np.ascontiguousarray(code_map, np.int8)
+    n = ctypes.c_int64()
+    total = ctypes.c_int64()
+    rc = lib.bst_fasta_scan(
+        path.encode(), code_map.ctypes.data,
+        ctypes.byref(n), ctypes.byref(total),
+    )
+    assert rc == 0, "cannot read %s" % path
+    nrec = int(n.value)
+    codes = np.zeros((int(total.value),), np.int8)
+    offsets = np.zeros((max(nrec, 1),), np.int64)
+    lengths = np.zeros((max(nrec, 1),), np.int64)
+    names_cap = 1 << 20
+    names_buf = ctypes.create_string_buffer(names_cap)
+    got = lib.bst_fasta_pack(
+        path.encode(), code_map.ctypes.data,
+        codes.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+        names_buf, names_cap,
+    )
+    assert got == nrec, (got, nrec)
+    names = names_buf.raw.split(b"\0")[:nrec]
+    return codes, offsets[:nrec], lengths[:nrec], [
+        x.decode("ascii", "replace") for x in names
+    ]

@@ -1,0 +1,256 @@
+// pwnative: host-side affine-gap banded DP engine + FASTA packer.
+//
+// The native runtime component of biseqt_tpu (the role pwlib's C engine
+// played in the reference — rebuilt from the recurrences, not translated):
+//  * serves host-side alignment (serving/debug/oracle) at C speed,
+//  * provides exact traceback for results the TPU kernel scored,
+//  * streams FASTA text into packed int8 code buffers for device upload.
+//
+// Conventions match biseqt_tpu.ops.banded_dp exactly:
+//  * band: diagonals d = i - j in [dmin, dmax]; cell (i, j), i=0..ls,
+//    j=0..lt; gap run of length g scores go + g*ge (go <= 0).
+//  * modes via flags: FREE_START_EDGES | LOCAL_START | FREE_END_EDGES |
+//    LOCAL_END (global = 0); see ModeFlags in the Python engine.
+//  * direction bytes: bits 0-1 H-source (0 stop, 1 diag, 2 left/E,
+//    3 up/F), bit 2 E-extend, bit 3 F-extend — identical to the lax
+//    engine so either producer's bytes feed either walker.
+//
+// Build: make (g++ -O3 -shared); binding: ctypes (biseqt_tpu/native).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+namespace {
+constexpr float NEG = -1e30f;
+
+enum ModeFlags {
+    FREE_START_EDGES = 1,
+    LOCAL_START = 2,
+    FREE_END_EDGES = 4,
+    LOCAL_END = 8,
+};
+}  // namespace
+
+extern "C" {
+
+// Banded (or full: dmin=-lt, dmax=ls) affine-gap DP.
+// dirs: optional output, (ls x W) bytes with W = dmax - dmin + 1 (row i
+// stored at (i-1)*W); pass nullptr for score-only.
+// Returns 0 on success, -1 on invalid arguments.
+int bst_align(const int8_t* s, int ls, const int8_t* t, int lt,
+              const float* subst, int A, float go, float ge,
+              int dmin, int dmax, int flags,
+              float* score_out, int* end_i, int* end_j,
+              uint8_t* dirs) {
+    if (ls < 0 || lt < 0 || A <= 0 || dmin > dmax || go > 0) return -1;
+    const int W = dmax - dmin + 1;
+    const bool local_start = flags & LOCAL_START;
+    const bool free_start = flags & FREE_START_EDGES;
+    const bool local_end = flags & LOCAL_END;
+    const bool free_end = flags & FREE_END_EDGES;
+
+    // rows indexed by diagonal lane k: d = dmax - k, j = i - dmax + k
+    std::vector<float> H(W, NEG), F(W, NEG), Hn(W), Fn(W), E(W);
+    for (int k = 0; k < W; ++k) {
+        long j = (long)k - dmax;
+        if (j < 0 || j > lt) continue;
+        if (local_start || free_start) H[k] = 0.0f;
+        else H[k] = j > 0 ? go + ge * (float)j : 0.0f;
+    }
+
+    float best = NEG;
+    int best_i = 0, best_k = 0;
+    float corner = NEG;
+
+    for (int i = 1; i <= ls; ++i) {
+        const int8_t sc = s[i - 1];
+        float e_prev = NEG;  // E at lane k-1 (within-row chain)
+        float hp_prev = NEG; // H_pre at lane k-1
+        for (int k = 0; k < W; ++k) {
+            long j = (long)i - dmax + k;
+            if (j < 0 || j > lt) {
+                Hn[k] = NEG;
+                Fn[k] = NEG;
+                if (dirs) dirs[(size_t)(i - 1) * W + k] = 0;
+                e_prev = NEG;
+                hp_prev = NEG;
+                continue;
+            }
+            // F (up): pred lane k+1 of previous row
+            float f_open = (k + 1 < W ? H[k + 1] : NEG) + go + ge;
+            float f_ext = (k + 1 < W ? F[k + 1] : NEG) + ge;
+            float f = std::max(f_open, f_ext);
+            // diag: same lane, previous row
+            float diag = NEG;
+            if (j >= 1) {
+                float sub = subst[(int)sc * A + (int)t[j - 1]];
+                diag = H[k] + sub;
+            }
+            float h_pre = std::max(diag, f);
+            if (local_start) h_pre = std::max(h_pre, 0.0f);
+            if (free_start && j == 0) h_pre = std::max(h_pre, 0.0f);
+            // E (left): within-row chain from lane k-1
+            float e_open = hp_prev + go + ge;
+            float e_ext = e_prev + ge;
+            float e = std::max(e_open, e_ext);
+            float h = std::max(h_pre, e);
+
+            if (dirs) {
+                uint8_t b;
+                if (h == diag) b = 1;
+                else if (h == e) b = 2;
+                else b = 3;
+                if (local_start && h == 0.0f && diag < 0.0f) b = 0;
+                if (free_start && j == 0 && h == 0.0f && f < 0.0f) b = 0;
+                if (e == e_ext && e > NEG / 2) b |= 4;
+                if (f == f_ext && f > NEG / 2) b |= 8;
+                dirs[(size_t)(i - 1) * W + k] = b;
+            }
+
+            Hn[k] = h;
+            Fn[k] = f;
+            e_prev = e;
+            hp_prev = h_pre;
+
+            if (local_end && h > best) { best = h; best_i = i; best_k = k; }
+            if (free_end) {
+                if ((j == lt || i == ls) && h > best) {
+                    best = h; best_i = i; best_k = k;
+                }
+            }
+            if (i == ls && j == lt) corner = h;
+        }
+        H.swap(Hn);
+        F.swap(Fn);
+    }
+
+    float score;
+    int ei, ek;
+    if (local_end || free_end) { score = best; ei = best_i; ek = best_k; }
+    else { score = corner; ei = ls; ek = lt - ls + dmax; }
+    if (score_out) *score_out = score;
+    if (end_i) *end_i = ei;
+    if (end_j) *end_j = (int)((long)ei - dmax + ek);
+    return 0;
+}
+
+// Traceback over direction bytes (either engine's). ops buffer must hold
+// at least ls+lt+2 bytes; returns transcript length, and writes the
+// 0-based start coordinates. Boundary handling mirrors the lax walker:
+// global-like starts consume the remaining prefix as I/D runs.
+int bst_traceback(const uint8_t* dirs, int W, int dmax,
+                  const int8_t* s, int ls, const int8_t* t, int lt,
+                  int end_i, int end_j, int flags,
+                  char* ops, int* start_i, int* start_j) {
+    const bool anchored_start =
+        !(flags & (LOCAL_START | FREE_START_EDGES));
+    int i = end_i, j = end_j;
+    int n = 0;
+    int state = 0;  // 0 = H, 1 = E, 2 = F
+    for (;;) {
+        if (state == 0) {
+            if (i == 0 || j == 0) break;
+            int k = j - i + dmax;
+            if (k < 0 || k >= W) return -1;
+            uint8_t b = dirs[(size_t)(i - 1) * W + k];
+            int src = b & 3;
+            if (src == 0) break;
+            if (src == 1) {
+                ops[n++] = (s[i - 1] == t[j - 1]) ? 'M' : 'S';
+                --i; --j;
+            } else if (src == 2) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            int k = j - i + dmax;
+            uint8_t b = dirs[(size_t)(i - 1) * W + k];
+            ops[n++] = 'I';
+            --j;
+            if (!((b >> 2) & 1) || j == 0) state = 0;
+        } else {
+            int k = j - i + dmax;
+            uint8_t b = dirs[(size_t)(i - 1) * W + k];
+            ops[n++] = 'D';
+            --i;
+            if (!((b >> 3) & 1) || i == 0) state = 0;
+        }
+    }
+    if (anchored_start) {
+        while (j > 0) { ops[n++] = 'I'; --j; }
+        while (i > 0) { ops[n++] = 'D'; --i; }
+    }
+    std::reverse(ops, ops + n);
+    ops[n] = '\0';
+    if (start_i) *start_i = i;
+    if (start_j) *start_j = j;
+    return n;
+}
+
+// ---------------------------------------------------------------------
+// FASTA streaming packer
+// ---------------------------------------------------------------------
+
+// Pass 1: count records and total packed length (letters present in the
+// 256-entry code map with value >= 0).
+int bst_fasta_scan(const char* path, const int8_t* code_map,
+                   int64_t* n_records, int64_t* total_len) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int64_t nrec = 0, total = 0;
+    int c;
+    bool in_header = false;
+    while ((c = std::fgetc(f)) != EOF) {
+        if (c == '>') { in_header = true; ++nrec; continue; }
+        if (c == '\n') { in_header = false; continue; }
+        if (in_header) continue;
+        if (code_map[(unsigned char)c] >= 0) ++total;
+    }
+    std::fclose(f);
+    *n_records = nrec;
+    *total_len = total;
+    return 0;
+}
+
+// Pass 2: pack codes into a flat buffer; offsets[r] = start of record r,
+// lengths[r] = its length; names flattened into names_buf separated by
+// '\0' (caller sizes via scan + name_cap). Returns number of records.
+int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
+                       int8_t* codes, int64_t* offsets, int64_t* lengths,
+                       char* names_buf, int64_t names_cap) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int64_t rec = -1, pos = 0, name_pos = 0;
+    bool in_header = false, header_started = false;
+    int c;
+    while ((c = std::fgetc(f)) != EOF) {
+        if (c == '>') {
+            if (rec >= 0) lengths[rec] = pos - offsets[rec];
+            ++rec;
+            offsets[rec] = pos;
+            in_header = true;
+            header_started = true;
+            continue;
+        }
+        if (in_header) {
+            if (c == '\n') {
+                in_header = false;
+                if (name_pos < names_cap) names_buf[name_pos++] = '\0';
+            } else if (header_started && name_pos + 1 < names_cap) {
+                if (c == ' ' || c == '\t') header_started = false;
+                else names_buf[name_pos++] = (char)c;
+            }
+            continue;
+        }
+        if (c == '\n' || c == '\r') continue;
+        int8_t code = code_map[(unsigned char)c];
+        if (code >= 0) codes[pos++] = code;
+    }
+    if (rec >= 0) lengths[rec] = pos - offsets[rec];
+    std::fclose(f);
+    return rec + 1;
+}
+
+}  // extern "C"

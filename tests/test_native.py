@@ -1,0 +1,124 @@
+"""Native C++ engine tests: cross-check against the JAX engine + oracle."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biseqt_tpu.sequence import Alphabet, pack_sequences
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags, traceback_path
+from biseqt_tpu import native
+
+from oracle import dp_oracle
+
+A4 = Alphabet("ACGT")
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine unavailable (no g++?)"
+)
+
+FLAG_CASES = [
+    ModeFlags(),
+    ModeFlags(local_start=True, local_end=True),
+    ModeFlags(free_start_edges=True, free_end_edges=True),
+    ModeFlags(local_end=True),
+    ModeFlags(local_start=True),
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_native_matches_oracle(rng, flags):
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    for trial in range(5):
+        M = MutationProcess(A4, subst_probs=0.2, go_prob=0.06, ge_prob=0.2,
+                            rng=rng)
+        S = rand_seq(A4, 40 + trial * 10, rng=rng)
+        T, _ = M.mutate(S)
+        s, t = S.to_array(), T.to_array()
+        dmin, dmax = -20, 20
+        score, ei, ej, _ = native.align(
+            s, t, subst, -2.0, -1.0, dmin, dmax, flags
+        )
+        expect = dp_oracle(
+            S.contents, T.contents, subst, -2.0, -1.0,
+            dmin=dmin, dmax=dmax,
+            free_start_edges=flags.free_start_edges,
+            local_start=flags.local_start,
+            free_end_edges=flags.free_end_edges,
+            local_end=flags.local_end,
+        )
+        assert score == pytest.approx(expect, abs=1e-3), (flags, trial)
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES[:3])
+def test_native_traceback_rescores(rng, flags):
+    subst = np.where(np.eye(4, dtype=bool), 2.0, -1.0).astype(np.float32)
+    go, ge = -3.0, -1.0
+    for trial in range(4):
+        M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05,
+                            ge_prob=0.2, rng=rng)
+        S = rand_seq(A4, 60, rng=rng)
+        T, _ = M.mutate(S)
+        s, t = S.to_array(), T.to_array()
+        dmin, dmax = -25, 25
+        score, ei, ej, dirs = native.align(
+            s, t, subst, go, ge, dmin, dmax, flags, with_dirs=True
+        )
+        if score <= -1e29:
+            continue
+        ops, si, sj = native.traceback(dirs, dmax, s, t, ei, ej, flags)
+        # re-score the transcript
+        total, i, j, prev = 0.0, si, sj, None
+        for op in ops:
+            if op in "MS":
+                total += subst[s[i], t[j]]
+                i += 1
+                j += 1
+            else:
+                total += ge + (go if prev != op else 0.0)
+                if op == "I":
+                    j += 1
+                else:
+                    i += 1
+            prev = op
+        assert (i, j) == (ei, ej)
+        assert total == pytest.approx(score, abs=1e-3), (flags, trial, ops)
+
+
+def test_native_dirs_compatible_with_lax_walker(rng):
+    """Direction bytes from the native engine feed the python walker."""
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    S = rand_seq(A4, 50, rng=rng)
+    M = MutationProcess(A4, subst_probs=0.1, go_prob=0.04, ge_prob=0.2,
+                        rng=rng)
+    T, _ = M.mutate(S)
+    flags = ModeFlags()
+    dmin, dmax = -20, 20
+    score, ei, ej, dirs = native.align(
+        S.to_array(), T.to_array(), subst, -2.0, -1.0, dmin, dmax, flags,
+        with_dirs=True,
+    )
+    tx, i0, j0 = traceback_path(
+        dirs, S.to_array(), T.to_array(), ei, ej,
+        banded=True, dmax=dmax, flags=flags,
+    )
+    ops, si, sj = native.traceback(
+        dirs, dmax, S.to_array(), T.to_array(), ei, ej, flags
+    )
+    assert (i0, j0) == (si, sj)
+    assert tx == ops
+
+
+def test_fasta_pack(tmp_path):
+    p = str(tmp_path / "x.fa")
+    with open(p, "w") as f:
+        f.write(">read1 some description\nACGTacgt\nNNGG\n>read2\nTTTT\n")
+    codes, offsets, lengths, names = native.fasta_pack(p)
+    assert names == ["read1", "read2"]
+    assert lengths.tolist() == [10, 4]  # N's skipped
+    r1 = codes[offsets[0]:offsets[0] + lengths[0]]
+    assert r1.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2, 2]
+    r2 = codes[offsets[1]:offsets[1] + lengths[1]]
+    assert r2.tolist() == [3, 3, 3, 3]
