@@ -1,0 +1,72 @@
+"""Benchmark driver: banded-DP throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the north-star target of 50 GCUPS/chip (BASELINE.json) for
+config 1 (pairwise banded SW, ~10 kbp pairs, bandwidth 100).
+
+Timing notes for this environment: the TPU is reached through a tunnel
+whose dispatch is asynchronous AND which caches identical executions —
+honest timing requires fresh inputs per iteration and device-to-host
+materialization inside the timed region.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from biseqt_tpu.ops.banded_dp import ModeFlags
+    from biseqt_tpu.ops.pallas_dp import banded_dp_pallas
+
+    B, L, BW = 128, 10240, 100
+    W = 128
+    block_b = 64
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0,
+              flags=ModeFlags(local_start=True, local_end=True),
+              block_b=block_b)
+
+    def mkargs(seed):
+        rr = np.random.default_rng(seed * 1_000_003 + 11)
+        return [jnp.asarray(x) for x in (
+            rr.integers(0, 4, (B, L), dtype=np.int8),
+            rr.integers(0, 4, (B, L), dtype=np.int8),
+            np.full((B,), 10000, np.int32),
+            np.full((B,), 10000, np.int32),
+            np.full((B,), -(BW // 2), np.int32),
+        )]
+
+    # warm up / compile
+    res = banded_dp_pallas(*mkargs(0), w_eff=jnp.full((B,), BW, jnp.int32),
+                           **kw)
+    _ = np.asarray(res.score)
+
+    n = 5
+    argsets = [mkargs(k + 1) for k in range(n)]
+    for a in argsets:
+        jax.block_until_ready(a)
+    t0 = time.time()
+    for a in argsets:
+        res = banded_dp_pallas(
+            *a, w_eff=jnp.full((B,), BW, jnp.int32), **kw
+        )
+        _ = np.asarray(res.score)  # force completion + D2H
+    dt = (time.time() - t0) / n
+
+    cells = B * 10000 * BW  # true band cells per run
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "metric": "banded_sw_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS/chip",
+        "vs_baseline": round(gcups / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

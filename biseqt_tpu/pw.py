@@ -192,7 +192,8 @@ class Aligner:
 
     def __init__(self, origin, mutate, alnmode=STD_MODE, alntype=None,
                  subst_scores=None, match_score=1.0, mismatch_score=-1.0,
-                 go_score=0.0, ge_score=-1.0, diag_range=None):
+                 go_score=0.0, ge_score=-1.0, diag_range=None,
+                 backend="lax"):
         assert isinstance(origin, Sequence) and isinstance(mutate, Sequence)
         assert origin.alphabet == mutate.alphabet
         self.origin = origin
@@ -227,6 +228,8 @@ class Aligner:
         assert go_score <= 0, "gap open score must be <= 0"
         self.go_score = float(go_score)
         self.ge_score = float(ge_score)
+        assert backend in ("lax", "native"), backend
+        self.backend = backend
         self._entered = False
         self._result = None
 
@@ -245,6 +248,8 @@ class Aligner:
         """Fill the DP wavefront; returns the optimal score (or None if the
         mode admits no alignment, e.g. a band missing the corner)."""
         assert self._entered, "use Aligner as a context manager"
+        if self.backend == "native":
+            return self._solve_native()
         ls, lt = len(self.origin), len(self.mutate)
         s_arr = self.origin.to_array(np.int8)
         t_arr = self.mutate.to_array(np.int8)
@@ -286,9 +291,45 @@ class Aligner:
             return None
         return score
 
+    def _solve_native(self):
+        """Host-side solve via the C++ engine (same conventions/bytes)."""
+        from . import native
+
+        flags = _FLAGS[self.alntype]
+        if self.alnmode == STD_MODE:
+            dmin, dmax = -len(self.mutate), len(self.origin)
+        else:
+            dmin, dmax = self.diag_range
+        score, ei, ej, dirs = native.align(
+            self.origin.to_array(), self.mutate.to_array(),
+            self.subst_scores, self.go_score, self.ge_score,
+            dmin, dmax, flags, with_dirs=True,
+        )
+        self._banded = self.alnmode == BANDED_MODE
+        self._dmax = dmax
+        self._native_out = (score, ei, ej, dirs)
+        self._result = "native"
+        if score <= -1e29:
+            return None
+        return score
+
     def traceback(self):
         """Walk the stored direction bytes; returns an :class:`Alignment`."""
         assert self._result is not None, "call solve() first"
+        if self.backend == "native":
+            from . import native
+
+            score, ei, ej, dirs = self._native_out
+            if score <= -1e29:
+                return None
+            ops, si, sj = native.traceback(
+                dirs, self._dmax, self.origin.to_array(),
+                self.mutate.to_array(), ei, ej, _FLAGS[self.alntype],
+            )
+            return Alignment(
+                self.origin, self.mutate, ops, score=score,
+                origin_start=si, mutate_start=sj,
+            )
         res = self._result
         if float(res.score[0]) <= -1e29:
             return None

@@ -1,0 +1,59 @@
+"""Band-radius model validation (paper figure analog).
+
+Simulates mutation-process alignment paths and measures how often their
+diagonal drift stays within ``band_radius(K, g, sensitivity)`` — the
+empirical check of the sqrt(gK) random-walk model that shapes every band
+in the framework.
+
+Usage: python experiments/band_radius_stats.py
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from biseqt_tpu.sequence import Alphabet
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.blot import band_radius
+from biseqt_tpu.utils import with_dumpfile
+
+A4 = Alphabet("ACGT")
+
+
+@with_dumpfile
+def run(Ks=(100, 400, 1600), gs=(0.05, 0.15, 0.3), sensitivity=0.99,
+        n_trials=100, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in gs:
+        M = MutationProcess(A4, subst_probs=0.1, go_prob=g, ge_prob=0.0,
+                            rng=rng)
+        for K in Ks:
+            r = band_radius(K, g, sensitivity)
+            inside = 0
+            for _ in range(n_trials):
+                S = rand_seq(A4, K, rng=rng)
+                _, tx = M.mutate(S)
+                d = dmax = 0
+                for op in tx:
+                    d += (op == "D") - (op == "I")
+                    dmax = max(dmax, abs(d))
+                inside += dmax <= r
+            rows.append({
+                "K": K, "g": g, "radius": int(r),
+                "containment": inside / n_trials,
+                "target": sensitivity,
+            })
+    return rows
+
+
+def main():
+    for row in run():
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

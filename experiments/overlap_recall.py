@@ -1,0 +1,92 @@
+"""All-vs-all overlap detection accuracy (BASELINE config 4).
+
+Simulates noisy long reads (PacBio-like 10-15% error) tiled over a
+genome, runs the mesh-sharded overlap pipeline, and reports
+precision/recall of true overlaps plus diagonal estimation error.
+
+Usage: python experiments/overlap_recall.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from biseqt_tpu.sequence import Alphabet, pack_sequences
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.parallel.allvsall import overlap_matrix_sharded
+from biseqt_tpu.parallel import make_mesh
+from biseqt_tpu.utils import with_dumpfile
+
+A4 = Alphabet("ACGT")
+
+
+def simulate_reads(rng, genome_len=20000, read_len=3000, n_reads=24,
+                   err=0.12):
+    M = MutationProcess(A4, subst_probs=err * 0.6, go_prob=err * 0.2,
+                        ge_prob=err * 0.5, rng=rng)
+    genome = rand_seq(A4, genome_len, rng=rng)
+    reads, starts = [], []
+    for _ in range(n_reads):
+        start = int(rng.integers(0, genome_len - read_len))
+        r, _ = M.mutate(genome[start:start + read_len])
+        reads.append(r)
+        starts.append(start)
+    return reads, starts
+
+
+def true_overlap(starts, read_len, q, t, min_olap):
+    o = read_len - abs(starts[q] - starts[t])
+    return o >= min_olap
+
+
+@with_dumpfile
+def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
+        wordlen=8, min_olap=500, min_score=25.0, min_p=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    reads, starts = simulate_reads(rng, genome_len, read_len, n_reads, err)
+    codes, lens = pack_sequences(reads)
+    stats = overlap_matrix_sharded(
+        codes, lens, wordlen=wordlen, mesh=make_mesh()
+    )
+    tp = fp = fn = 0
+    d_errs = []
+    for q in range(n_reads):
+        for t in range(q + 1, n_reads):
+            pred = (stats["s0"][q, t] >= min_score
+                    and stats["p"][q, t] >= min_p)
+            truth = true_overlap(starts, read_len, q, t, min_olap)
+            if pred and truth:
+                tp += 1
+                d_errs.append(
+                    abs(int(stats["diag"][q, t])
+                        - (starts[t] - starts[q]))
+                )
+            elif pred:
+                fp += 1
+            elif truth:
+                fn += 1
+    return {
+        "n_reads": n_reads, "err": err,
+        "precision": tp / max(tp + fp, 1),
+        "recall": tp / max(tp + fn, 1),
+        "diag_mae": float(np.mean(d_errs)) if d_errs else None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dumpfile", default=None)
+    args = ap.parse_args()
+    kw = {}
+    if args.quick:
+        kw = dict(genome_len=8000, read_len=1500, n_reads=12)
+    print(json.dumps(run(dumpfile=args.dumpfile, **kw)))
+
+
+if __name__ == "__main__":
+    main()

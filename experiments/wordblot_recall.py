@@ -1,0 +1,129 @@
+"""Word-Blot band recall harness (the north-star accuracy metric).
+
+Plants homologous segments between two long random sequences at known
+(diagonal band, antidiagonal range, match probability), runs
+``WordBlot.similar_segments`` over a p_min sweep, and reports
+**recall@k** (fraction of planted segments recovered among the top-k
+reported segments) plus the p̂ estimation error — the same evaluation the
+reference's experiments ran for the Word-Blot paper figures
+(``experiments/`` in amirkdv/biseqt measured recall of planted
+homologies, not throughput).
+
+Usage: python experiments/wordblot_recall.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from biseqt_tpu.sequence import Alphabet
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.blot import WordBlot, band_radius
+from biseqt_tpu.utils import with_dumpfile
+
+A4 = Alphabet("ACGT")
+
+
+def plant_homologies(rng, seq_len=20000, n_segments=4, seg_len=1000,
+                     subst=0.1, gap=0.05):
+    """Two random sequences sharing n mutated segments at random offsets.
+
+    Returns (S, T, planted) where planted is a list of
+    ``{'d': center diagonal, 'a': (a_lo, a_hi), 'p': planted match prob}``.
+    """
+    M = MutationProcess(A4, subst_probs=subst, go_prob=gap, ge_prob=gap,
+                        rng=rng)
+    S = rand_seq(A4, seq_len, rng=rng)
+    T = rand_seq(A4, seq_len, rng=rng)
+    planted = []
+    slot = seq_len // n_segments
+    for n in range(n_segments):
+        # non-overlapping slots keep planted segments unambiguous
+        i0 = n * slot + int(rng.integers(0, slot - seg_len))
+        j0 = n * slot + int(rng.integers(0, slot - seg_len))
+        core = S[i0:i0 + seg_len]
+        mut, tx = M.mutate(core)
+        T = T[:j0] + mut + T[j0 + len(mut):]
+        matches = sum(1 for op in tx if op == "M")
+        planted.append({
+            "d": i0 - j0,
+            "a": (i0 + j0, i0 + seg_len + j0 + len(mut)),
+            "p": matches / len(tx),
+        })
+    return S, T, planted
+
+
+def segment_hits(found, planted, radius):
+    """Which planted segments does each found segment hit?"""
+    hits = []
+    for seg in found:
+        (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
+        hit = None
+        for idx, pl in enumerate(planted):
+            if not (d_lo - radius <= pl["d"] <= d_hi + radius):
+                continue
+            lo, hi = max(a_lo, pl["a"][0]), min(a_hi, pl["a"][1])
+            if hi - lo >= 0.5 * (pl["a"][1] - pl["a"][0]):
+                hit = idx
+                break
+        hits.append(hit)
+    return hits
+
+
+@with_dumpfile
+def run_sweep(seq_len=20000, n_segments=4, seg_len=1000, subst=0.1,
+              gap=0.05, wordlen=8, K_min=500,
+              p_mins=(0.5, 0.6, 0.7, 0.8), n_trials=3, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for p_min in p_mins:
+        recalls, precs, p_errs = [], [], []
+        for _ in range(n_trials):
+            S, T, planted = plant_homologies(
+                rng, seq_len, n_segments, seg_len, subst, gap
+            )
+            wb = WordBlot(S, T, wordlen=wordlen, g_max=max(2 * gap, 0.1))
+            found = sorted(
+                wb.similar_segments(K_min=K_min, p_min=p_min),
+                key=lambda s: -s["num_seeds"],
+            )
+            k = n_segments  # recall@k with k = number planted
+            hits = segment_hits(found[:k], planted, wb.band_radius(seg_len))
+            recovered = set(h for h in hits if h is not None)
+            recalls.append(len(recovered) / n_segments)
+            precs.append(
+                (sum(1 for h in hits if h is not None) / len(hits))
+                if hits else 1.0
+            )
+            for seg, h in zip(found[:k], hits):
+                if h is not None:
+                    p_errs.append(abs(seg["p"] - planted[h]["p"]))
+        rows.append({
+            "p_min": p_min,
+            "recall_at_k": float(np.mean(recalls)),
+            "precision": float(np.mean(precs)),
+            "p_hat_mae": float(np.mean(p_errs)) if p_errs else None,
+        })
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dumpfile", default=None)
+    args = ap.parse_args()
+    kw = {}
+    if args.quick:
+        kw = dict(seq_len=8000, n_segments=3, seg_len=600, n_trials=2,
+                  K_min=300)
+    rows = run_sweep(dumpfile=args.dumpfile, **kw)
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,32 @@ def test_fasta_pack(tmp_path):
     assert r1.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2, 2]
     r2 = codes[offsets[1]:offsets[1] + lengths[1]]
     assert r2.tolist() == [3, 3, 3, 3]
+
+
+def test_aligner_native_backend_matches_lax(rng):
+    from biseqt_tpu import pw
+    from biseqt_tpu.pw import Aligner
+
+    M = MutationProcess(A4, subst_probs=0.12, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    for alnmode, alntype, kw in (
+        (pw.STD_MODE, pw.GLOBAL, {}),
+        (pw.STD_MODE, pw.LOCAL, {}),
+        (pw.BANDED_MODE, pw.B_OVERLAP, {"diag_range": (-15, 15)}),
+    ):
+        S = rand_seq(A4, 45, rng=rng)
+        T, _ = M.mutate(S)
+        with Aligner(S, T, alnmode=alnmode, alntype=alntype,
+                     go_score=-2.0, ge_score=-1.0, **kw) as a_lax:
+            s_lax = a_lax.solve()
+            tx_lax = a_lax.traceback()
+        with Aligner(S, T, alnmode=alnmode, alntype=alntype,
+                     go_score=-2.0, ge_score=-1.0, backend="native",
+                     **kw) as a_nat:
+            s_nat = a_nat.solve()
+            tx_nat = a_nat.traceback()
+        assert s_nat == pytest.approx(s_lax, abs=1e-3), (alnmode, alntype)
+        if tx_lax is not None:
+            assert tx_nat.calculate_score(
+                a_nat.subst_scores, -2.0, -1.0
+            ) == pytest.approx(s_lax, abs=1e-3)
