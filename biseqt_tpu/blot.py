@@ -165,6 +165,10 @@ class WordBlot:
             out.append({"seed": (int(i), int(j)), "neighs": n, "p": float(p)})
         return out
 
+    # dense (d, a) grids beyond this many cells switch to the sparse
+    # run-merging assembler (genome-scale pairs)
+    MAX_GRID_CELLS = 1 << 22
+
     def similar_segments(self, K_min: int, p_min: float,
                          at_least_one: bool = False) -> Iterable[Dict]:
         """Discover maximal similar segments (the flagship entry point).
@@ -173,7 +177,22 @@ class WordBlot:
         'p': p̂, 'score': (S0, S1)}`` — the same contract as
         ``biseqt/blot.py — WordBlot.similar_segments``; ``d`` values are in
         true (unshifted) diagonal coordinates.
+
+        Two assembly strategies, same output contract: a dense bucket-grid
+        + connected components for normal sizes, and a sparse sorted-run
+        merge (O(#seeds log)) when the grid would not fit (the ~Mbp genome
+        configs, where the (d, a) plane is huge but seeds are sparse).
         """
+        r = self.band_radius(K_min)
+        acell = max(2 * K_min, 2)
+        dcell = max(r, 1)
+        n_d = (len(self.S) + len(self.T)) // dcell + 2
+        n_a = (len(self.S) + len(self.T)) // acell + 2
+        if n_d * n_a > self.MAX_GRID_CELLS:
+            yield from self._segments_sparse(
+                K_min, p_min, dcell, acell, at_least_one
+            )
+            return
         grid, neigh, dcell, acell, r = self._grids(K_min)
         lt = len(self.T)
         # a cell is "hot" if its 3x3 neighborhood (≈ a (3r, 6K) window in
@@ -204,6 +223,98 @@ class WordBlot:
             p_hat = self.estimate_match_probability(n, seglen)
             if p_hat < p_min:
                 continue
+            s0, s1 = self.score_num_seeds(n, area, seglen, p_hat)
+            found += 1
+            yield {
+                "segment": ((d_lo - lt, d_hi - lt), (a_lo, a_hi)),
+                "p": p_hat,
+                "score": (s0, s1),
+                "num_seeds": n,
+            }
+        if found == 0 and at_least_one:
+            yield self._best_fallback(K_min, p_min)
+
+    def _segments_sparse(self, K_min, p_min, dcell, acell,
+                         at_least_one=False):
+        """Sparse assembly: antidiagonal runs per diagonal cell, merged
+        across adjacent cells — O(#seeds log #seeds), no dense grid.
+
+        Vectorized run detection: seeds are already (d_, a)-sorted, so a
+        run boundary is "d-cell changed or a-gap > 2 cells" and one cumsum
+        labels every run; per-run aggregates come from reduceat.
+        """
+        d_, a = self.seed_index.seed_arrays()
+        lt = len(self.T)
+        if len(d_) == 0:
+            if at_least_one:
+                yield self._best_fallback(K_min, p_min)
+            return
+        dc = d_ // dcell
+        # order by (cell, a): run detection needs each cell's seeds in
+        # antidiagonal order regardless of which exact diagonal they're on
+        order0 = np.lexsort((a, dc))
+        dc, a_o = dc[order0], a[order0]
+        new_run = np.empty(len(d_), bool)
+        new_run[0] = True
+        new_run[1:] = (dc[1:] != dc[:-1]) | (np.diff(a_o) > 2 * acell)
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(d_))
+        run_d = dc[starts]
+        run_alo = a_o[starts]
+        run_ahi = a_o[ends - 1]
+        run_n = ends - starts
+        # drop background singleton runs before merging
+        keep = run_n >= 3
+        if not keep.any():
+            if at_least_one:
+                yield self._best_fallback(K_min, p_min)
+            return
+        run_d, run_alo, run_ahi, run_n = (
+            run_d[keep], run_alo[keep], run_ahi[keep], run_n[keep]
+        )
+        # union adjacent-diagonal runs with overlapping (padded) a-ranges
+        order = np.argsort(run_alo, kind="stable")
+        parent = np.arange(len(run_d))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        last_in_cell: Dict[int, int] = {}
+        for idx in order:
+            c = int(run_d[idx])
+            for cc in (c - 1, c, c + 1):
+                other = last_in_cell.get(cc)
+                if other is not None and (
+                        run_ahi[other] + acell >= run_alo[idx] - acell):
+                    ra, rb = find(idx), find(other)
+                    if ra != rb:
+                        parent[rb] = ra
+            last_in_cell[c] = idx
+        comps: Dict[int, list] = {}
+        for idx in range(len(run_d)):
+            comps.setdefault(find(idx), []).append(idx)
+
+        found = 0
+        for members in comps.values():
+            ms = np.asarray(members)
+            d_lo = int(run_d[ms].min()) * dcell
+            d_hi = (int(run_d[ms].max()) + 1) * dcell - 1
+            a_lo = int(run_alo[ms].min())
+            a_hi = int(run_ahi[ms].max())
+            # exact rectangle count (matches the dense path's statistics)
+            n = self.seed_index.seed_count(
+                d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
+            )
+            seglen = max((a_hi - a_lo + 1) / 2.0, 1.0)
+            if seglen < K_min:
+                continue
+            p_hat = self.estimate_match_probability(n, seglen)
+            if p_hat < p_min:
+                continue
+            area = (d_hi - d_lo + 1) * seglen
             s0, s1 = self.score_num_seeds(n, area, seglen, p_hat)
             found += 1
             yield {

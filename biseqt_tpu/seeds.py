@@ -17,6 +17,7 @@ the sorted array — the role the SQL B-tree played, at memory bandwidth.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -67,7 +68,14 @@ class SeedIndex:
         self.wordlen = int(wordlen)
         self.alphabet = S.alphabet
         self.path = path
-        self._build(capacity_hint)
+        if path is not None and os.path.exists(path):
+            # reuse persisted seeds (the reference reused its SQLite
+            # seed tables across runs the same way)
+            self._load(path)
+        else:
+            self._build(capacity_hint)
+            if path is not None:
+                self._save(path)
 
     def _build(self, capacity_hint: Optional[int]):
         ls, lt = len(self.S), len(self.T)
@@ -97,6 +105,26 @@ class SeedIndex:
         self._a = a[order]
         # composite key for O(log n) 2-D band queries
         self._acap = ls + lt + 1
+        self._comp = self._d_ * self._acap + self._a
+
+    # -- persistence ----------------------------------------------------------
+    def _save(self, path: str):
+        np.savez_compressed(
+            path, d_=self._d_, a=self._a, acap=self._acap,
+            wordlen=self.wordlen,
+            ids=np.asarray([self.S.content_id, self.T.content_id]),
+        )
+
+    def _load(self, path: str):
+        z = np.load(path, allow_pickle=True)
+        assert int(z["wordlen"]) == self.wordlen, "wordlen mismatch"
+        ids = z["ids"].tolist()
+        assert ids == [self.S.content_id, self.T.content_id], (
+            "snapshot is for different sequences"
+        )
+        self._d_ = z["d_"]
+        self._a = z["a"]
+        self._acap = int(z["acap"])
         self._comp = self._d_ * self._acap + self._a
 
     # -- conventions ----------------------------------------------------------

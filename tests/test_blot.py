@@ -182,3 +182,39 @@ def test_wordblot_multiple(rng):
     assert len(d_bands) == 2
     # core occupies i0 in [100, 400) -> antidiagonal range ~ [200, 800)
     assert a_lo < 800 and a_hi > 200
+
+
+def test_sparse_segments_match_dense(rng):
+    """The sparse (genome-scale) assembler finds the same planted cores."""
+    S, T, (s0, s1), (t0, t1) = _planted_pair(rng, flank=300, core=400)
+    wb = WordBlot(S, T, wordlen=8, g_max=0.2)
+    dense = sorted(wb.similar_segments(K_min=150, p_min=0.6),
+                   key=lambda s: -s["num_seeds"])
+    try:
+        WordBlot.MAX_GRID_CELLS = 1  # force sparse path
+        sparse = sorted(wb.similar_segments(K_min=150, p_min=0.6),
+                        key=lambda s: -s["num_seeds"])
+    finally:
+        WordBlot.MAX_GRID_CELLS = 1 << 22
+    assert dense and sparse
+    bd, bs = dense[0], sparse[0]
+    # both recover the same homology region
+    (d_lo_d, d_hi_d), (a_lo_d, a_hi_d) = bd["segment"]
+    (d_lo_s, d_hi_s), (a_lo_s, a_hi_s) = bs["segment"]
+    assert max(a_lo_d, a_lo_s) < min(a_hi_d, a_hi_s)  # a-ranges overlap
+    assert max(d_lo_d, d_lo_s) <= min(d_hi_d, d_hi_s) + 50
+    assert abs(bd["p"] - bs["p"]) < 0.2
+
+
+def test_seed_index_persistence(tmp_path, rng):
+    from biseqt_tpu.seeds import SeedIndex
+    S = rand_seq(A4, 200, rng=rng)
+    M = MutationProcess(A4, subst_probs=0.1, go_prob=0.03, ge_prob=0.1,
+                        rng=rng)
+    T, _ = M.mutate(S)
+    p = str(tmp_path / "seeds.npz")
+    i1 = SeedIndex(S, T, wordlen=6, path=p)
+    n1 = len(i1)
+    i2 = SeedIndex(S, T, wordlen=6, path=p)  # reloaded from snapshot
+    assert len(i2) == n1
+    assert i2.seed_count(d_band=(-10, 10)) == i1.seed_count(d_band=(-10, 10))
