@@ -1,0 +1,147 @@
+"""End-to-end discover-then-extend pipeline (the framework's "model").
+
+The full seed-and-extend flow the reference composes by hand
+(``KmerIndex`` -> ``SeedIndex`` -> ``WordBlot.similar_segments`` ->
+``pw.Aligner`` banded extension), packaged as one call with the TPU
+execution plan:
+
+  1. Word-Blot discovers candidate similar segments (device seed join +
+     band statistics; sparse assembly at genome scale).
+  2. Every candidate band becomes one row of a *batched* banded-DP
+     problem: the (d, a) rectangle is cut out of both sequences, the band
+     geometry is normalized per pair, and a single kernel launch extends
+     all candidates (lax backend everywhere, Pallas on TPU).
+
+This is the "flagship model" of the framework: discovery O(#seeds),
+extension O(band x length) on the MXU-free VPU path, everything batched.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sequence import Sequence
+from .blot import WordBlot, band_radius
+from .ops.banded_dp import banded_dp, ModeFlags
+from .ops.pallas_dp import banded_dp_pallas
+
+__all__ = ["discover_and_extend", "extend_segments"]
+
+
+def _bucket(n, mini=128):
+    n = max(int(n), 1)
+    if n <= mini:
+        return mini
+    step = max(mini, 1 << (max(n.bit_length(), 3) - 3))
+    return ((n + step - 1) // step) * step
+
+
+def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
+                    subst=None, go_score=-3.0, ge_score=-1.0,
+                    use_pallas: bool = None, pad_radius: int = 16,
+                    pad_a: int = 512):
+    """Batched banded extension of Word-Blot candidate segments.
+
+    Each segment's (d, a) rectangle maps to subsequences
+    ``S[i_lo:i_hi], T[j_lo:j_hi]`` and a diagonal band (relative to the
+    cutouts); all segments align in ONE batched banded-DP launch (local
+    mode: the alignment starts/ends wherever the homology does).  Returns
+    the segments with the banded-DP ``score`` attached.
+    """
+    if not segments:
+        return []
+    A = len(S.alphabet)
+    if subst is None:
+        subst = np.where(np.eye(A, dtype=bool), 1.0, -1.0).astype(np.float32)
+    s_arr = S.to_array()
+    t_arr = T.to_array()
+
+    cut = []
+    for seg in segments:
+        (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
+        # grow the rectangle: discovery quantizes to coarse cells and the
+        # true alignment should be free to extend past the seed-dense core
+        d_lo -= pad_radius
+        d_hi += pad_radius
+        a_lo -= pad_a
+        a_hi += pad_a
+        # rectangle corners in (i, j)
+        i_lo = max((a_lo + d_lo) // 2, 0)
+        i_hi = min((a_hi + d_hi + 1) // 2 + 1, len(S))
+        j_lo = max((a_lo - d_hi) // 2, 0)
+        j_hi = min((a_hi - d_lo + 1) // 2 + 1, len(T))
+        i_hi = max(i_hi, i_lo + 1)
+        j_hi = max(j_hi, j_lo + 1)
+        # band relative to the cutouts: d' = d - (i_lo - j_lo)
+        off = i_lo - j_lo
+        cut.append((i_lo, i_hi, j_lo, j_hi, d_lo - off, d_hi - off))
+
+    B = len(cut)
+    ls_max = max(c[1] - c[0] for c in cut)
+    lt_max = max(c[3] - c[2] for c in cut)
+    W_max = max(c[5] - c[4] + 1 for c in cut)
+    LS = _bucket(ls_max)
+    LT = _bucket(lt_max)
+    W = _bucket(W_max, mini=128)
+    s_codes = np.zeros((B, LS), np.int8)
+    t_codes = np.zeros((B, LT), np.int8)
+    s_lens = np.zeros((B,), np.int32)
+    t_lens = np.zeros((B,), np.int32)
+    dmin = np.zeros((B,), np.int32)
+    w_eff = np.zeros((B,), np.int32)
+    for b, (i_lo, i_hi, j_lo, j_hi, dl, dh) in enumerate(cut):
+        s_lens[b] = i_hi - i_lo
+        t_lens[b] = j_hi - j_lo
+        s_codes[b, : s_lens[b]] = s_arr[i_lo:i_hi]
+        t_codes[b, : t_lens[b]] = t_arr[j_lo:j_hi]
+        width = dh - dl + 1
+        # pad on the dmin side to the shared W (lane mask trims it)
+        dmin[b] = dh - W + 1
+        w_eff[b] = min(width, W)
+
+    # local mode: the optimal alignment starts/ends wherever the homology
+    # does, independent of the (padded) rectangle rim
+    flags = ModeFlags(local_start=True, local_end=True)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    fn = banded_dp_pallas if use_pallas else banded_dp
+    res = fn(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens),
+        jnp.asarray(dmin), W=W, subst=np.asarray(subst, np.float32),
+        go=float(go_score), ge=float(ge_score), flags=flags,
+        w_eff=jnp.asarray(w_eff),
+    )
+    scores = np.asarray(res.score)
+    out = []
+    for b, seg in enumerate(segments):
+        seg = dict(seg)
+        seg["score"] = float(scores[b])
+        seg["band_cells"] = int(
+            (cut[b][5] - cut[b][4] + 1) * (cut[b][1] - cut[b][0])
+        )
+        out.append(seg)
+    return out
+
+
+def discover_and_extend(S: Sequence, T: Sequence, *, wordlen: int = 8,
+                        K_min: int = 100, p_min: float = 0.6,
+                        g_max: float = 0.2, subst=None,
+                        go_score=-3.0, ge_score=-1.0,
+                        use_pallas: bool = None):
+    """Word-Blot discovery + batched banded extension, one call.
+
+    Returns the discovered segments with DP ``score`` attached, sorted by
+    score descending.
+    """
+    wb = WordBlot(S, T, wordlen=wordlen, g_max=g_max)
+    segments = list(wb.similar_segments(K_min=K_min, p_min=p_min))
+    extended = extend_segments(
+        S, T, segments, subst=subst, go_score=go_score,
+        ge_score=ge_score, use_pallas=use_pallas,
+    )
+    return sorted(extended, key=lambda s: -s["score"])

@@ -1,0 +1,104 @@
+"""Genome-scale homology mapping (BASELINE config 5, scaled by --size).
+
+Simulates a pair of related "genomes": genome B is genome A passed
+through the mutation channel plus large-scale rearrangements (block
+translocations), then Word-Blot (sparse assembly, wordlen 12) discovers
+homologous blocks and the batched banded DP extends every candidate.
+Reports block recall and wall-clock per phase.
+
+Usage: python experiments/genome_homology.py [--size 2000000] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from biseqt_tpu.sequence import Alphabet, Sequence
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.blot import WordBlot
+from biseqt_tpu.pipeline import extend_segments
+
+A4 = Alphabet("ACGT")
+
+
+def rearranged_pair(rng, size, n_blocks=8, subst=0.08, gap=0.02):
+    """Genome A and a mutated, block-shuffled genome B + truth blocks."""
+    M = MutationProcess(A4, subst_probs=subst, go_prob=gap, ge_prob=gap,
+                        rng=rng)
+    A_seq = rand_seq(A4, size, rng=rng)
+    block = size // n_blocks
+    order = rng.permutation(n_blocks)
+    chunks = []
+    truth = []  # (a_start_in_A, b_start_in_B, length)
+    pos_b = 0
+    for b in order:
+        a_lo = int(b) * block
+        mut, _ = M.mutate(A_seq[a_lo:a_lo + block])
+        chunks.append(mut)
+        truth.append((a_lo, pos_b, len(mut)))
+        pos_b += len(mut)
+    B_seq = chunks[0]
+    for c in chunks[1:]:
+        B_seq = B_seq + c
+    return A_seq, B_seq, truth
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=2_000_000)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--wordlen", type=int, default=12)
+    args = ap.parse_args()
+    size = 100_000 if args.quick else args.size
+    n_blocks = 4 if args.quick else 8
+    rng = np.random.default_rng(1)
+
+    t0 = time.time()
+    A_seq, B_seq, truth = rearranged_pair(rng, size, n_blocks=n_blocks)
+    t_sim = time.time() - t0
+
+    t0 = time.time()
+    wb = WordBlot(A_seq, B_seq, wordlen=args.wordlen, g_max=0.1)
+    t_index = time.time() - t0
+
+    K_min = max(size // n_blocks // 8, 200)
+    t0 = time.time()
+    segs = list(wb.similar_segments(K_min=K_min, p_min=0.6))
+    t_discover = time.time() - t0
+
+    t0 = time.time()
+    ext = extend_segments(A_seq, B_seq, segs, use_pallas=None)
+    t_extend = time.time() - t0
+
+    # recall: every truth block's diagonal must be hit by some segment
+    found = 0
+    for a_lo, b_lo, blen in truth:
+        d = a_lo - b_lo
+        hit = any(
+            s["segment"][0][0] - 64 <= d <= s["segment"][0][1] + 64
+            and s["segment"][1][0] < (a_lo + b_lo) + 2 * blen
+            and s["segment"][1][1] > (a_lo + b_lo)
+            for s in ext
+        )
+        found += hit
+    cells = sum(s.get("band_cells", 0) for s in ext)
+    print(json.dumps({
+        "size": size, "n_blocks": n_blocks,
+        "n_segments": len(ext),
+        "block_recall": found / len(truth),
+        "seeds": len(wb.seed_index),
+        "t_simulate": round(t_sim, 2),
+        "t_index": round(t_index, 2),
+        "t_discover": round(t_discover, 2),
+        "t_extend": round(t_extend, 2),
+        "extended_cells": cells,
+    }))
+
+
+if __name__ == "__main__":
+    main()

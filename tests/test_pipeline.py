@@ -1,0 +1,58 @@
+"""End-to-end discover+extend pipeline tests."""
+
+import numpy as np
+import pytest
+
+from biseqt_tpu.sequence import Alphabet
+from biseqt_tpu.stochastics import rand_seq, MutationProcess
+from biseqt_tpu.pipeline import discover_and_extend, extend_segments
+from biseqt_tpu.blot import WordBlot
+
+A4 = Alphabet("ACGT")
+
+
+def test_discover_and_extend_planted(rng):
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.03, ge_prob=0.1,
+                        rng=rng)
+    core = rand_seq(A4, 500, rng=rng)
+    core_mut, _ = M.mutate(core)
+    S = rand_seq(A4, 400, rng=rng) + core + rand_seq(A4, 400, rng=rng)
+    T = rand_seq(A4, 350, rng=rng) + core_mut + rand_seq(A4, 450, rng=rng)
+    out = discover_and_extend(
+        S, T, wordlen=8, K_min=200, p_min=0.6, use_pallas=False
+    )
+    assert out, "no extended segments"
+    best = out[0]
+    # extension score should reflect ~500 mostly-matching columns
+    assert best["score"] > 200, best
+    # and the segment covers the planted core antidiagonally
+    (_, _), (a_lo, a_hi) = best["segment"]
+    assert a_lo < 400 + 350 + 1000 and a_hi > 400 + 350
+
+
+def test_discover_and_extend_unrelated_scores_low(rng):
+    S = rand_seq(A4, 1200, rng=rng)
+    T = rand_seq(A4, 1200, rng=rng)
+    out = discover_and_extend(
+        S, T, wordlen=8, K_min=300, p_min=0.75, use_pallas=False
+    )
+    assert out == []
+
+
+def test_extend_segments_multiple_candidates(rng):
+    """Two planted cores -> two extended segments, both scoring high."""
+    M = MutationProcess(A4, subst_probs=0.05, go_prob=0.02, ge_prob=0.05,
+                        rng=rng)
+    c1 = rand_seq(A4, 400, rng=rng)
+    c2 = rand_seq(A4, 400, rng=rng)
+    c1m, _ = M.mutate(c1)
+    c2m, _ = M.mutate(c2)
+    gap1 = rand_seq(A4, 500, rng=rng)
+    gap2 = rand_seq(A4, 500, rng=rng)
+    S = c1 + gap1 + c2
+    T = c1m + gap2 + c2m
+    out = discover_and_extend(
+        S, T, wordlen=8, K_min=150, p_min=0.6, use_pallas=False
+    )
+    assert len(out) >= 2
+    assert out[0]["score"] > 150 and out[1]["score"] > 150
