@@ -38,7 +38,8 @@ from .ops import blot_stats
 
 __all__ = [
     "band_radius", "band_radii", "expected_overlap_len",
-    "WordBlot", "WordBlotOverlap", "WordBlotLocalRef", "WordBlotMultiple",
+    "WordBlot", "WordBlotOverlap", "WordBlotOverlapRef",
+    "WordBlotLocalRef", "WordBlotMultiple",
 ]
 
 
@@ -428,6 +429,35 @@ class WordBlotOverlap(WordBlot):
             self.wordlen,
         ))
         return diags, p_hat
+
+
+class WordBlotOverlapRef:
+    """Overlap detection of many queries against one fixed read.
+
+    Equivalent of ``biseqt/blot.py — WordBlotOverlapRef``: the reference
+    read's k-mer index is built once; each query's overlap band statistics
+    stream through in O(|query| + hits).
+    """
+
+    def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
+                 sensitivity: float = 0.99):
+        self.ref = ref
+        self.wordlen = int(wordlen)
+        self.g_max = float(g_max)
+        self.sensitivity = float(sensitivity)
+        self._index = {}
+        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
+            self._index.setdefault(km, []).append(pos)
+
+    def highest_scoring_overlap_band(self, query: Sequence, **kw):
+        wb = WordBlotOverlap.__new__(WordBlotOverlap)
+        wb.S, wb.T = query, self.ref
+        wb.wordlen = self.wordlen
+        wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
+        wb.seed_index = _SeedsFromRefIndex(
+            query, self.ref, self.wordlen, self._index
+        )
+        return wb.highest_scoring_overlap_band(**kw)
 
 
 # ---------------------------------------------------------------------------

@@ -6,27 +6,28 @@ north-star GCUPS target measures.
 
 Kernel design (see :mod:`.banded_dp` for the recurrence derivation):
 
-  * One grid step owns a tile of ``block_b`` alignment pairs; the whole
-    band state (H, F — two [block_b, W] f32 tiles) lives in VMEM scratch
-    across the sequential row loop, so HBM traffic is just the int8 code
-    streams — the kernel is compute-bound VPU work.
-  * Rows are processed in chunks of 128: one *aligned* VMEM load pulls the
-    chunk's origin codes and the band-frame window superset, then 128 rows
-    unroll statically so every sliding-window access is a compile-time
-    register slice — no dynamic rotates, no per-row loop overhead.
-    (Mosaic requires lane-aligned vector loads; the chunking turns the
-    per-row unaligned slide into one aligned load per 128 rows.)
-  * The row body is minimal: invalid cells are poisoned through the
-    substitution score (PAD chars score -1e30) instead of explicit
-    validity masks — gap chains only ever decay monotonically (ge <= 0,
-    go <= 0), so poisoned lanes can never win a max against live ones.
-  * The within-row affine-gap chain is the closed-form prefix max
-    (log2(W) shifted maxes) — the only superlinear-in-W cost per row.
+  * **Streamed inputs.** The code streams (origin rows + band-frame mutate
+    stream) live in HBM; 128-row chunks are double-buffered into VMEM with
+    async DMA, so VMEM holds only O(block_b * W) state regardless of
+    sequence length — megabase pairs and 256-pair tiles both fit.
+  * **Register wavefront.** The whole band state (H, F — [block_b, W] f32)
+    is carried through a ``fori_loop`` as values; 128 rows unroll
+    statically per chunk so every sliding-window access is a compile-time
+    slice of the chunk value (Mosaic requires lane-aligned vector loads;
+    chunking turns the per-row unaligned slide into one aligned DMA per
+    chunk).
+  * **Minimal row body.** Validity is enforced by poisoning substitution
+    scores at PAD characters (-1e30) — gap chains decay monotonically
+    (go, ge <= 0), so poisoned lanes never win a max.  Mode trackers
+    accumulate into [block_b, W] *vectors* (one max per row); reductions
+    happen once after the loop.  The only superlinear cost per row is the
+    closed-form affine E-chain: log2(W) shifted maxes.
+  * The critical path is the E-chain's shifted-max dependency; Mosaic
+    pipelines the independent per-vreg work, so wider tiles raise
+    throughput until VPU issue saturates.
 
-Mode handling mirrors :class:`.banded_dp.ModeFlags`; corner extraction for
-global-like modes happens once after the loop (frozen rows keep each
-pair's final row in place).  This kernel returns scores + end cell of the
-optimum; traceback is served by the lax backend or the native host engine.
+Traceback on TPU is served by the lax backend (direction bytes) or the
+native host engine; this kernel is the throughput path.
 """
 
 from __future__ import annotations
@@ -39,32 +40,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .banded_dp import NEG, DPResult, ModeFlags, shift_lanes
+from .banded_dp import NEG, DPResult, ModeFlags
 
 __all__ = ["banded_dp_pallas"]
 
-_R = 128  # row chunk (static unroll factor; also the load alignment)
+_R = 128  # row chunk length (DMA granularity and unroll factor)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
-            subst_ref, score_ref, ei_ref, ek_ref,
-            H_sc, F_sc, best_sc,
-            *, W: int, LSp: int, A: int, go: float, ge: float,
+def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
+            s_hbm, t2_hbm,
+            score_ref, ei_ref, ek_ref,
+            H_sc, sbuf, tbuf, sems,
+            *, W: int, LSp: int, BT: int, A: int, go: float, ge: float,
             flags: ModeFlags, uniform: tuple):
-    BT = H_sc.shape[0]
+    b = pl.program_id(0)
+    row0 = b * BT
     karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
     kf = karange.astype(jnp.float32)
     gek = ge * kf
     cgek = (go + ge) - gek
+    shift_masks = {}
+    s = 1
+    while s < W:
+        shift_masks[s] = karange >= s
+        s *= 2
+    mask_up = karange < (W - 1)
     dmax = dmax_ref[:, :1]
     slen = slen_ref[:, :1]
     tlen = tlen_ref[:, :1]
     weff = weff_ref[:, :1]
     lane_ok = karange < weff
+
+    def shr(x, sh):  # lane k <- k - sh
+        return jnp.where(shift_masks[sh], pltpu.roll(x, sh, 1), NEG)
+
+    def shl1(x):     # lane k <- k + 1
+        return jnp.where(mask_up, pltpu.roll(x, W - 1, 1), NEG)
 
     # init row (i = 0)
     j0 = karange - dmax
@@ -73,17 +88,14 @@ def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
         h0 = jnp.zeros((BT, W), jnp.float32)
     else:
         h0 = jnp.where(j0 > 0, go + ge * j0.astype(jnp.float32), 0.0)
-    H_sc[:] = jnp.where(valid0, h0, NEG)
-    F_sc[:] = jnp.full((BT, W), NEG)
-    best_sc[:] = jnp.full((BT, 1), NEG)
+    H0 = jnp.where(valid0, h0, NEG)
 
     if uniform is None:
         srows = [
-            [subst_ref[0, a * A + b] for b in range(A)] for a in range(A)
+            [subst_ref[0, a * A + bb] for bb in range(A)] for a in range(A)
         ]
 
     def sub_score(s_char, t_win):
-        """Substitution score; PAD (-1) positions poisoned to NEG."""
         if uniform is not None:
             m, mm = uniform
             base = jnp.where(s_char == t_win, m, mm)
@@ -91,32 +103,63 @@ def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
             base = jnp.zeros(t_win.shape, jnp.float32)
             for a in range(A):
                 row = jnp.full(t_win.shape, srows[a][0], jnp.float32)
-                for b in range(1, A):
-                    row = jnp.where(t_win == b, srows[a][b], row)
+                for bb in range(1, A):
+                    row = jnp.where(t_win == bb, srows[a][bb], row)
                 base = jnp.where(s_char == a, row, base)
         return jnp.where(t_win < 0, NEG, base)
 
-    track_col = flags.free_end_edges
-    track_row = flags.local_end
+    n_chunks = LSp // _R
 
-    def do_chunk(c, _):
-        base = pl.multiple_of(c * _R, _R)
-        s_chunk = s_ref[:, pl.ds(base, _R)]
-        t_chunk = t2_ref[:, pl.ds(base, W + _R)]
-        H = H_sc[:]
-        F = F_sc[:]
-        best = best_sc[:]
+    def start_dma(slot, c):
+        base = c * _R
+        d1 = pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row0, BT), pl.ds(base, _R)],
+            sbuf.at[slot], sems.at[slot, 0],
+        )
+        d2 = pltpu.make_async_copy(
+            t2_hbm.at[pl.ds(row0, BT), pl.ds(base, W + _R)],
+            tbuf.at[slot], sems.at[slot, 1],
+        )
+        d1.start()
+        d2.start()
+
+    def wait_dma(slot, c):
+        base = c * _R
+        pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row0, BT), pl.ds(base, _R)],
+            sbuf.at[slot], sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            t2_hbm.at[pl.ds(row0, BT), pl.ds(base, W + _R)],
+            tbuf.at[slot], sems.at[slot, 1],
+        ).wait()
+
+    start_dma(0, 0)
+
+    track_col = flags.free_end_edges
+    track_local = flags.local_end
+
+    def chunk_body(c, carry):
+        H, F, best_vec = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_dma(1 - slot, c + 1)
+
+        wait_dma(slot, c)
+        s_chunk = sbuf[slot]
+        t_chunk = tbuf[slot]
+
         for r in range(_R):
-            i = base + (r + 1)                      # dynamic scalar row id
+            i = c * _R + (r + 1)
             t_win = t_chunk[:, r:r + W]
             s_char = s_chunk[:, r:r + 1]
             sub = sub_score(s_char, t_win)
 
             diag_cand = H + sub
-            F_new = shift_lanes(
-                jnp.maximum(H + go, F), -1, NEG
-            ) + ge
-            H_pre = jnp.maximum(diag_cand, F_new)
+            F = shl1(jnp.maximum(H + go, F)) + ge
+            H_pre = jnp.maximum(diag_cand, F)
             if flags.local_start:
                 H_pre = jnp.maximum(H_pre, 0.0)
             if flags.free_start_edges:
@@ -126,42 +169,34 @@ def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
                 )
             H_pre = jnp.where(lane_ok, H_pre, NEG)
 
-            # E chain: closed-form prefix max (log2 W shifted maxes)
-            P = shift_lanes(H_pre, 1, NEG) + cgek
-            s = 1
-            while s < W:
-                P = jnp.maximum(P, shift_lanes(P, s, NEG))
-                s *= 2
+            P = shr(H_pre, 1) + cgek
+            sh = 1
+            while sh < W:
+                P = jnp.maximum(P, shr(P, sh))
+                sh *= 2
             H_new = jnp.maximum(H_pre, P + gek)
 
-            row_valid = i <= slen
-            H = jnp.where(row_valid, H_new, H)
-            F = jnp.where(row_valid, F_new, F)
+            # freeze rows beyond each pair's length (one lane-broadcast)
+            H = jnp.where(i <= slen, H_new, H)
 
-            if track_row:
-                rowmax = jnp.max(
-                    jnp.where(row_valid, H_new, NEG), axis=1, keepdims=True
-                )
-                best = jnp.maximum(best, rowmax)
+            if track_local:
+                best_vec = jnp.maximum(best_vec, H)
             if track_col:
+                # j == |T| column: lane k = tlen - i + dmax this row
                 kcol = tlen - i + dmax
-                colval = jnp.max(
-                    jnp.where(
-                        (karange == kcol) & row_valid & lane_ok, H_new, NEG
-                    ),
-                    axis=1, keepdims=True,
+                best_vec = jnp.maximum(
+                    best_vec,
+                    jnp.where((karange == kcol) & (i <= slen), H, NEG),
                 )
-                best = jnp.maximum(best, colval)
-        H_sc[:] = H
-        F_sc[:] = F
-        best_sc[:] = best
-        return 0
+        return (H, F, best_vec)
 
-    jax.lax.fori_loop(0, LSp // _R, do_chunk, 0, unroll=False)
+    H, F, best_vec = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (H0, jnp.full((BT, W), NEG), jnp.full((BT, W), NEG)),
+    )
+    H_sc[:] = H
 
-    # post-loop extraction: frozen rows mean H_sc holds each pair's last
-    # real row, so corner / last-row maxima come from one masked reduce.
-    H = H_sc[:]
+    # post-loop extraction (frozen rows: H holds each pair's last real row)
     kcorner = tlen - slen + dmax
     corner = jnp.max(
         jnp.where((karange == kcorner) & lane_ok, H, NEG),
@@ -169,9 +204,11 @@ def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
     )
     if flags.free_end_edges:
         lastrow = jnp.max(jnp.where(lane_ok, H, NEG), axis=1, keepdims=True)
-        score = jnp.maximum(best_sc[:], lastrow)
+        score = jnp.maximum(
+            jnp.max(best_vec, axis=1, keepdims=True), lastrow
+        )
     elif flags.local_end:
-        score = best_sc[:]
+        score = jnp.max(best_vec, axis=1, keepdims=True)
     else:
         score = corner
     score_ref[:] = score
@@ -181,7 +218,7 @@ def _kernel(s_ref, t2_ref, dmax_ref, slen_ref, tlen_ref, weff_ref,
 
 def banded_dp_pallas(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                      subst, go: float, ge: float, flags: ModeFlags,
-                     w_eff=None, A: int = 4, block_b: int = 32,
+                     w_eff=None, A: int = 4, block_b: int = 64,
                      interpret: bool = False):
     """Pallas-backed batched banded DP; score-mode contract of
     :func:`biseqt_tpu.ops.banded_dp.banded_dp` (``dirs`` empty; ``end_i``/
@@ -191,6 +228,7 @@ def banded_dp_pallas(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
     a multiple of 128; ``go <= 0`` and ``ge <= 0`` are required by the
     poisoned-lane validity scheme.  ``subst`` must be a concrete (host)
     array — uniform match/mismatch matrices compile to a 2-op fast path.
+    Sequences of any length stream from HBM (no VMEM residency limit).
     """
     assert W % 128 == 0, "pad band width to a multiple of 128"
     assert go <= 0 and ge <= 0, "kernel requires nonpositive gap scores"
@@ -251,34 +289,34 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         jnp.take_along_axis(t_codes_p, jnp.clip(src, 0, LT - 1), axis=1),
         -1,
     )
-
     subst_flat = subst.reshape(1, A * A)
 
-    grid = (Bp // block_b,)
+    BT = block_b
+    grid = (Bp // BT,)
     kernel = functools.partial(
-        _kernel, W=W, LSp=LSp, A=A, go=float(go), ge=float(ge),
+        _kernel, W=W, LSp=LSp, BT=BT, A=A, go=float(go), ge=float(ge),
         flags=flags, uniform=uniform,
     )
-    row_spec = lambda shape: pl.BlockSpec(
+    vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM
     )
     score, ei, ek = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            row_spec((block_b, LSp)),
-            row_spec((block_b, Y)),
-            row_spec((block_b, 1)),
-            row_spec((block_b, 1)),
-            row_spec((block_b, 1)),
-            row_spec((block_b, 1)),
+            vspec((BT, 1)),
+            vspec((BT, 1)),
+            vspec((BT, 1)),
+            vspec((BT, 1)),
             pl.BlockSpec((1, A * A), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # s codes (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # t2 stream (HBM)
         ],
         out_specs=[
-            row_spec((block_b, 1)),
-            row_spec((block_b, 1)),
-            row_spec((block_b, 1)),
+            vspec((BT, 1)),
+            vspec((BT, 1)),
+            vspec((BT, 1)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
@@ -286,13 +324,20 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_b, W), jnp.float32),   # H
-            pltpu.VMEM((block_b, W), jnp.float32),   # F
-            pltpu.VMEM((block_b, 1), jnp.float32),   # best
+            pltpu.VMEM((BT, W), jnp.float32),           # H out staging
+            pltpu.VMEM((2, BT, _R), jnp.int32),         # s double buffer
+            pltpu.VMEM((2, BT, W + _R), jnp.int32),     # t2 double buffer
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled row body gets single-assignment stack slots from
+            # Mosaic; allow it to use more than the 16M default (v5e has
+            # 128M physical VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(s_codes, t2, dmax_p[:, None], s_lens_p[:, None], t_lens_p[:, None],
-      weff_p[:, None], subst_flat)
+    )(dmax_p[:, None], s_lens_p[:, None], t_lens_p[:, None],
+      weff_p[:, None], subst_flat, s_codes, t2)
 
     score = score[:B, 0]
     ei = ei[:B, 0]

@@ -218,3 +218,19 @@ def test_seed_index_persistence(tmp_path, rng):
     i2 = SeedIndex(S, T, wordlen=6, path=p)  # reloaded from snapshot
     assert len(i2) == n1
     assert i2.seed_count(d_band=(-10, 10)) == i1.seed_count(d_band=(-10, 10))
+
+
+def test_overlap_ref_matches_pairwise(rng):
+    from biseqt_tpu.blot import WordBlotOverlapRef
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.04, ge_prob=0.2,
+                        rng=rng)
+    genome = rand_seq(A4, 1500, rng=rng)
+    r1, _ = M.mutate(genome[0:900])
+    r2, _ = M.mutate(genome[500:1400])
+    ref = WordBlotOverlapRef(r2, wordlen=8, g_max=0.2)
+    res_ref = ref.highest_scoring_overlap_band(r1)
+    res_pair = WordBlotOverlap(r1, r2, wordlen=8,
+                               g_max=0.2).highest_scoring_overlap_band()
+    assert res_ref is not None and res_pair is not None
+    assert res_ref["d_band"] == res_pair["d_band"]
+    assert res_ref["p"] == pytest.approx(res_pair["p"], abs=1e-6)
