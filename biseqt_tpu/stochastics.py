@@ -257,73 +257,72 @@ def rand_seq_batch(key, batch, length, alphabet_len=4, p=None):
 
 
 def mutate_batch(key, codes, lengths, subst_prob, go_prob, ge_prob,
-                 alphabet_len=4):
+                 alphabet_len=4, max_ins_run=8):
     """Vectorized mutation of a packed batch (capacity-bounded, jit-safe).
 
-    A TPU-friendly reformulation of :meth:`MutationProcess.mutate`: instead
-    of a sequential per-letter walk, each origin position independently draws
-    (a) a substitution through the error channel, (b) a deletion flag, and
-    (c) an insertion-run length ~ Geometric(ge) opened with prob go/2.  The
-    mutant is materialized by a capacity-bounded scatter at out-capacity
-    ``ceil(1.5 * L)``.
+    A TPU-friendly reformulation of :meth:`MutationProcess.mutate`: every
+    origin position independently draws (a) a substitution through the
+    error channel, (b) a deletion flag with the sequential model's
+    *marginal* deletion rate ``(go/2)/(1-ge)``, and (c) an insertion run
+    of Geometric(ge) length opened with prob go/2.  The mutant is then
+    materialized by a static-shape gather: output slot q maps back to its
+    origin slot via a searchsorted over the per-position output widths
+    (the same ragged-expansion inversion :func:`ops.tables.expand_join`
+    uses).
 
-    Statistically this matches the sequential model's marginals (same gap
-    open/extend rates) without a sequential scan — the standard trick of
-    trading exact run-length coupling for an iid-per-site model whose
-    parameters are calibrated identically.
+    Run-length coupling of deletions is approximated iid (marginals
+    calibrated); the host :class:`MutationProcess` is the exact sequential
+    model — this tier exists to fabricate large benchmark workloads
+    on-device.
 
-    Returns ``(mut_codes [B, cap], mut_lengths [B])``.
+    Returns ``(mut_codes [B, cap], mut_lengths [B])`` with PAD tails.
     """
     B, L = codes.shape
     cap = int(L + max(16, L // 2))
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
-    # substitution channel
+    # substitution channel: replace with a uniformly different letter
     err = jax.random.uniform(k1, (B, L)) < subst_prob
     shift = jax.random.randint(k2, (B, L), 1, alphabet_len)
     sub_codes = jnp.where(
-        err, (codes + shift.astype(jnp.int8)) % alphabet_len, codes
-    ).astype(jnp.int8)
-
-    half_go = go_prob / 2.0
-    deleted = jax.random.uniform(k3, (B, L)) < half_go
-    # extend deletions: a deleted position extends to the next with prob ge
-    # modeled iid: each position independently deleted with an extension boost
-    ext = jax.random.uniform(k4, (B, L)) < ge_prob
-    deleted = deleted | (jnp.roll(deleted, 1, axis=1) & ext)
-
-    # insertion run length before each position ~ geometric
-    ins_open = jax.random.uniform(k5, (B, L)) < half_go
-    kg = jax.random.fold_in(key, 7)
-    u = jax.random.uniform(kg, (B, L), minval=1e-7, maxval=1.0)
-    geo = jnp.where(
-        ins_open,
-        1 + jnp.floor(jnp.log(u) / jnp.log(jnp.maximum(ge_prob, 1e-9))).astype(
-            jnp.int32
-        ) * (ge_prob > 0),
-        0,
-    ).astype(jnp.int32)
-    geo = jnp.minimum(geo, 8)
-
-    valid = (
-        jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+        err,
+        (codes.astype(jnp.int32) + shift) % alphabet_len,
+        codes.astype(jnp.int32),
     )
+
+    half_go = float(go_prob) / 2.0
+    del_rate = min(half_go / max(1.0 - float(ge_prob), 1e-6), 0.49)
+    deleted = jax.random.uniform(k3, (B, L)) < del_rate
+
+    # insertion run before each position: open w.p. go/2, len ~ Geom(ge)
+    ins_open = jax.random.uniform(k4, (B, L)) < half_go
+    u = jax.random.uniform(k5, (B, L), minval=1e-7, maxval=1.0)
+    if ge_prob > 0:
+        run = 1 + jnp.floor(
+            jnp.log(u) / float(np.log(ge_prob))
+        ).astype(jnp.int32)
+    else:
+        run = jnp.ones((B, L), jnp.int32)
+    geo = jnp.where(ins_open, jnp.minimum(run, max_ins_run), 0)
+
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
     keep = valid & (~deleted)
     out_w = keep.astype(jnp.int32) + jnp.where(valid, geo, 0)
-    # output start offset of each origin position
-    offs = jnp.cumsum(out_w, axis=1) - out_w
-    mut_lengths = jnp.minimum(offs[:, -1] + out_w[:, -1], cap)
+    ends = jnp.cumsum(out_w, axis=1)                  # inclusive
+    offs = ends - out_w                               # exclusive
+    mut_lengths = jnp.minimum(ends[:, -1], cap).astype(jnp.int32)
 
-    ki = jax.random.fold_in(key, 11)
-    ins_codes = jax.random.randint(ki, (B, L), 0, alphabet_len, dtype=jnp.int8)
-
-    # scatter kept letters; inserted letters fill remaining slots arbitrarily
-    # (approximation: we scatter the kept letter at the end of its slot-run and
-    # replicate insertion code before it)
-    out = jnp.full((B, cap), ins_codes[:, :1].repeat(cap, axis=1))
-    pos = jnp.clip(offs + jnp.where(valid, geo, 0), 0, cap - 1)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(L, axis=1)
-    out = out.at[rows, pos].set(jnp.where(keep, sub_codes, out[rows, pos]))
-    mask = jnp.arange(cap, dtype=jnp.int32)[None, :] < mut_lengths[:, None]
-    out = jnp.where(mask, out, PAD).astype(jnp.int8)
-    return out, mut_lengths.astype(jnp.int32)
+    # invert the ragged expansion: output slot q -> origin slot p
+    qidx = jnp.arange(cap, dtype=jnp.int32)
+    p = jax.vmap(lambda e: jnp.searchsorted(e, qidx, side="right"))(ends)
+    p = jnp.minimum(p, L - 1).astype(jnp.int32)
+    rank = qidx[None, :] - jnp.take_along_axis(offs, p, axis=1)
+    is_ins = rank < jnp.take_along_axis(geo, p, axis=1)
+    ins_codes = jax.random.randint(k6, (B, cap), 0, alphabet_len,
+                                   dtype=jnp.int32)
+    letters = jnp.where(
+        is_ins, ins_codes, jnp.take_along_axis(sub_codes, p, axis=1)
+    )
+    mask = qidx[None, :] < mut_lengths[:, None]
+    out = jnp.where(mask, letters, PAD).astype(jnp.int8)
+    return out, mut_lengths

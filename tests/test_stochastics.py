@@ -120,3 +120,39 @@ def test_mutation_process_matrix_form(rng):
     s = rand_seq(A4, 2000, rng=rng)
     mut, tx = M.mutate(s)
     assert 0.1 < str(tx).count("S") / len(tx) < 0.2
+
+
+def test_device_tier_batch_sim(rng):
+    """rand_seq_batch + mutate_batch: calibrated rates, valid outputs."""
+    import jax
+    import jax.numpy as jnp
+    from biseqt_tpu.stochastics import rand_seq_batch, mutate_batch
+    from biseqt_tpu.sequence import PAD
+
+    key = jax.random.PRNGKey(0)
+    B, L = 16, 2000
+    codes = rand_seq_batch(key, B, L)
+    counts = np.bincount(np.asarray(codes).ravel() % 4, minlength=4)
+    assert counts.min() > B * L / 4 * 0.9
+
+    lengths = jnp.full((B,), L, jnp.int32)
+    mut, mlen = mutate_batch(
+        jax.random.PRNGKey(1), codes, lengths,
+        subst_prob=0.2, go_prob=0.1, ge_prob=0.2,
+    )
+    mut_np, mlen_np = np.asarray(mut), np.asarray(mlen)
+    # lengths near L (ins/del balance), PAD tails exact
+    assert (np.abs(mlen_np - L) < 0.2 * L).all()
+    for b in range(B):
+        assert (mut_np[b, mlen_np[b]:] == PAD).all()
+        assert (mut_np[b, :mlen_np[b]] >= 0).all()
+    # substitution rate: compare aligned prefix match rate roughly
+    same = (np.asarray(codes) == mut_np[:, :L]).mean()
+    assert same < 0.9  # mutations present
+    # identity channel: no changes at zero rates
+    mut0, mlen0 = mutate_batch(
+        jax.random.PRNGKey(2), codes, lengths,
+        subst_prob=0.0, go_prob=0.0, ge_prob=0.0,
+    )
+    assert (np.asarray(mlen0) == L).all()
+    assert (np.asarray(mut0)[:, :L] == np.asarray(codes)).all()
