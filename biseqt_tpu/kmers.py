@@ -178,6 +178,30 @@ class KmerIndex:
         self._n -= removed
         return removed
 
+    # -- database integration -------------------------------------------------
+    def attach_to(self, db):
+        """Subscribe to a :class:`biseqt_tpu.database.DB` so ingested
+        sequences are collected for indexing (the reference's event-hook
+        pattern: a KmerIndex subscribes to 'sequence-inserted').
+
+        Sequences accumulate; call :meth:`refresh` (or query after inserts)
+        to (re)build the table in one batched sort.
+        """
+        self._pending = getattr(self, "_pending", [])
+
+        def on_insert(db_, rec, seq):
+            self._pending.append(seq)
+
+        db.add_event_listener("sequence-inserted", on_insert)
+        return self
+
+    def refresh(self):
+        """Index everything accumulated via :meth:`attach_to`."""
+        pending = getattr(self, "_pending", [])
+        if pending:
+            self.index_kmers(pending)
+        return self
+
     # -- table access for downstream ops (seeds) ------------------------------
     def table(self):
         """The raw sorted (keys, seqs, poss) device triple."""

@@ -108,11 +108,6 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     flags = ModeFlags(local_start=True, local_end=True)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    # the VMEM-resident kernel holds whole code rows on chip; beyond this
-    # row length fall back to the lax scan (streamed HBM->VMEM kernel is
-    # the planned upgrade for giant cutouts)
-    if use_pallas and LS > (1 << 16):
-        use_pallas = False
     fn = banded_dp_pallas if use_pallas else banded_dp
     res = fn(
         jnp.asarray(s_codes), jnp.asarray(t_codes),

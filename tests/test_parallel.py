@@ -121,3 +121,47 @@ def test_band_sharded_dp_matches_unsharded(rng):
             np.asarray(got), np.asarray(ref.score), atol=1e-3,
             err_msg=str(flags),
         )
+
+
+def test_checkpointed_sweep_resumes(tmp_path, rng):
+    from biseqt_tpu.parallel.sweep import checkpointed_overlap_sweep
+    from biseqt_tpu.parallel.allvsall import overlap_stats_block
+    import jax.numpy as jnp
+    import os
+
+    reads, _ = _reads_with_overlaps(rng, n_reads=6, glen=1200, rlen=400)
+    codes, lens = pack_sequences(reads, pad_to=512)
+    out_dir = str(tmp_path / "sweep")
+    full = checkpointed_overlap_sweep(
+        codes, lens, out_dir, wordlen=6, block=2
+    )
+    # blocks persisted
+    blocks = [f for f in os.listdir(out_dir) if f.startswith("block_")]
+    assert len(blocks) == 3
+    # simulate a partial sweep: delete one block, rerun -> identical result
+    os.remove(os.path.join(out_dir, sorted(blocks)[1]))
+    again = checkpointed_overlap_sweep(
+        codes, lens, out_dir, wordlen=6, block=2
+    )
+    np.testing.assert_array_equal(full["s0"], again["s0"])
+    # matches the direct one-shot computation
+    direct = overlap_stats_block(
+        jnp.asarray(codes), jnp.asarray(lens),
+        jnp.asarray(codes), jnp.asarray(lens), wordlen=6,
+    )
+    np.testing.assert_allclose(full["s0"], np.asarray(direct["s0"]),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_kmer_index_db_events(tmp_path, rng):
+    import io
+    from biseqt_tpu.database import DB
+    from biseqt_tpu.kmers import KmerIndex
+    from biseqt_tpu.sequence import Alphabet
+
+    db = DB(":memory:", A4)
+    idx = KmerIndex(wordlen=4, alphabet=A4).attach_to(db)
+    db.load_fasta(io.StringIO(">a\nACGTACGTAC\n>b\nTTACGTTT\n"))
+    idx.refresh()
+    assert idx.num_seqs == 2
+    assert idx.num_kmers == 7 + 5
