@@ -23,9 +23,9 @@ def main():
     from biseqt_tpu.ops.banded_dp import ModeFlags
     from biseqt_tpu.ops.pallas_dp import banded_dp_pallas
 
-    B, L, BW = 128, 10240, 100
+    B, L, BW = 512, 10240, 100
     W = 128
-    block_b = 64
+    block_b = 256
     subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
     kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0,
               flags=ModeFlags(local_start=True, local_end=True),

@@ -169,6 +169,9 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
                 )
             H_pre = jnp.where(lane_ok, H_pre, NEG)
 
+            # E chain: closed-form prefix max (log2 W shifted maxes).
+            # (A mask-free double-width variant was measured slower: the
+            # 2x-wide rolls cost more than the per-step fills they save.)
             P = shr(H_pre, 1) + cgek
             sh = 1
             while sh < W:
