@@ -1,0 +1,169 @@
+"""Sort-join all-vs-all overlap statistics (the at-scale path).
+
+The per-pair binary-search formulation (:mod:`..parallel.allvsall`) is
+gather-bound on TPU — fine for a few hundred reads, hopeless at 1000+.
+This module is the sort-native redesign, the direct all-vs-all analog of
+the reference's SQL self-join (``biseqt/seeds.py — SeedIndex``) done the
+TPU way:
+
+  1. ONE global radix-sorted k-mer table over all reads
+     (:func:`..ops.tables.build_kmer_table`);
+  2. seeds materialize as a *capped run expansion*: every table entry
+     pairs with the next ``max_run`` entries of its k-mer run (repetitive
+     k-mers beyond the cap are dropped — the role ``score_kmers`` masking
+     plays in the reference);
+  3. each seed becomes one int32 composite ``(query, target, d-bucket)``
+     key; one more sort + run-length count gives every pair's diagonal
+     histogram *sparsely*;
+  4. sliding 3-bucket windows come from neighboring composites, and a
+     segmented max per pair yields the best overlap band.
+
+Everything is sorts, cumsums and segment ops — no per-pair loops, no
+gathers over big tables.  Cost: O(total_kmers * max_run) expansion + two
+device sorts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .tables import build_kmer_table, KEY_SENTINEL
+
+__all__ = ["overlap_stats_sorted"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wordlen", "alphabet_len", "bucket", "max_run",
+                     "n_reads"),
+)
+def overlap_stats_sorted(codes, lengths, *, wordlen: int,
+                         n_reads: int, alphabet_len: int = 4,
+                         bucket: int = 64, max_run: int = 4):
+    """Best-overlap-band statistics for every ordered read pair.
+
+    Args:
+        codes: int8 [N, L]; lengths: int32 [N]; ``n_reads`` == N (static).
+        bucket: diagonal bucket width (band resolution).
+        max_run: per-entry partner cap within a k-mer run (repeat guard).
+
+    Returns dict of [N, N] arrays: ``window`` (best 3-bucket band seed
+    count), ``diag`` (band center diagonal, d = pos_q - pos_t), ``p``
+    (match-prob estimate), ``s0`` (H0 rejection score), ``olap_len``.
+    """
+    from . import blot_stats
+
+    N, L = codes.shape
+    assert N == n_reads
+    nbins = (2 * L) // bucket + 2
+    n_pairs = N * N
+    assert n_pairs * nbins < 2 ** 31, (
+        "composite key overflows int32; raise bucket or shard reads"
+    )
+
+    keys, seqs, poss, _ = build_kmer_table(
+        codes, lengths, wordlen, alphabet_len
+    )
+    M = keys.shape[0]
+
+    # run membership: entry i pairs with entries i+1 .. i+max_run while the
+    # key matches (and is not the sentinel)
+    slots = []
+    for h in range(1, max_run + 1):
+        k2 = jnp.concatenate(
+            [keys[h:], jnp.full((h,), KEY_SENTINEL - 1, keys.dtype)]
+        )
+        s2 = jnp.concatenate([seqs[h:], jnp.zeros((h,), seqs.dtype)])
+        p2 = jnp.concatenate([poss[h:], jnp.zeros((h,), poss.dtype)])
+        valid = (keys == k2) & (keys != KEY_SENTINEL)
+        valid &= seqs != s2  # seeds across distinct reads only
+        # composite (q, t, dbucket); both orders appear since the table
+        # holds all reads — emit both directions from one comparison
+        d_ab = jnp.clip((poss - p2) + L, 0, 2 * L)
+        d_ba = jnp.clip((p2 - poss) + L, 0, 2 * L)
+        comp_ab = (seqs * N + s2) * nbins + d_ab // bucket
+        comp_ba = (s2 * N + seqs) * nbins + d_ba // bucket
+        big = jnp.int32(2 ** 31 - 1)
+        slots.append(jnp.where(valid, comp_ab, big))
+        slots.append(jnp.where(valid, comp_ba, big))
+    comp = jnp.concatenate(slots)                     # [2*max_run*M]
+    comp = jax.lax.sort(comp)
+
+    # run-length count of identical composites
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), comp[1:] != comp[:-1]
+    ])
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    counts = jnp.zeros((comp.shape[0],), jnp.int32).at[rid].add(
+        jnp.where(comp < 2 ** 31 - 1, 1, 0)
+    )
+    # compact: one row per distinct composite (padded tail has comp=big)
+    uniq_comp = jnp.where(first, comp, 2 ** 31 - 1)
+    uniq_cnt = jnp.where(first, counts[rid], 0)
+    order = jnp.argsort(uniq_comp)
+    uniq_comp = uniq_comp[order]
+    uniq_cnt = uniq_cnt[order]
+
+    # 3-bucket sliding window: neighbors are adjacent rows at composite
+    # +-1 — but only within the same pair (bucket 0's composite-1 would be
+    # the previous pair's last bucket)
+    dbin_all = uniq_comp % jnp.int32(nbins)
+    left = jnp.concatenate([jnp.full((1,), -2, jnp.int32), uniq_comp[:-1]])
+    lcnt = jnp.concatenate([jnp.zeros((1,), jnp.int32), uniq_cnt[:-1]])
+    right = jnp.concatenate([uniq_comp[1:], jnp.full((1,), -2, jnp.int32)])
+    rcnt = jnp.concatenate([uniq_cnt[1:], jnp.zeros((1,), jnp.int32)])
+    window = (
+        uniq_cnt
+        + jnp.where((left == uniq_comp - 1) & (dbin_all > 0), lcnt, 0)
+        + jnp.where(
+            (right == uniq_comp + 1) & (dbin_all < nbins - 1), rcnt, 0
+        )
+    )
+
+    # per-pair best window via segment_max over pair ids
+    pair_id = jnp.clip(uniq_comp // nbins, 0, n_pairs - 1)
+    dbin = uniq_comp % nbins
+    valid_row = uniq_comp < 2 ** 31 - 1
+    window = jnp.where(valid_row, window, 0)
+    best_w = jax.ops.segment_max(
+        window, pair_id, num_segments=n_pairs,
+        indices_are_sorted=True,
+    )
+    best_w = jnp.maximum(best_w, 0)
+    # winning bucket: segment_max over encoded (window, dbin)
+    enc = window * jnp.int32(nbins) + dbin
+    best_enc = jax.ops.segment_max(
+        jnp.where(valid_row, enc, -1), pair_id, num_segments=n_pairs,
+        indices_are_sorted=True,
+    )
+    best_bin = jnp.maximum(best_enc, 0) % nbins
+
+    # geometry + statistics per pair
+    qlen = lengths[:, None].astype(jnp.float32)
+    tlen = lengths[None, :].astype(jnp.float32)
+    centers = (best_bin.reshape(N, N) * bucket + bucket // 2) - L
+    d = centers.astype(jnp.float32)
+    olap = jnp.maximum(
+        jnp.minimum(jnp.minimum(qlen - d, tlen + d),
+                    jnp.minimum(qlen, tlen)),
+        0.0,
+    )
+    seglen = jnp.maximum(olap, 1.0)
+    w = best_w.reshape(N, N).astype(jnp.float32)
+    p_hat = blot_stats.estimate_match_probability(w, seglen, wordlen)
+    area = (3.0 * bucket) * seglen
+    s0, _ = blot_stats.h0_h1_scores(
+        w, area, seglen, jnp.maximum(p_hat, 1e-3), wordlen, alphabet_len
+    )
+    plausible = olap >= 2.0 * wordlen
+    return {
+        "window": best_w.reshape(N, N),
+        "diag": centers.astype(jnp.int32),
+        "p": jnp.where(plausible, p_hat, 0.0),
+        "s0": jnp.where(plausible, s0, 0.0),
+        "olap_len": olap.astype(jnp.int32),
+    }

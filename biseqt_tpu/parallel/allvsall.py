@@ -64,11 +64,13 @@ def _pair_diag_histogram(q_keys, t_sorted_keys, t_sorted_pos,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wordlen", "alphabet_len", "bucket", "max_hits"),
+    static_argnames=("wordlen", "alphabet_len", "bucket", "max_hits",
+                     "target_chunk"),
 )
 def overlap_stats_block(q_codes, q_lens, t_codes, t_lens, *,
                         wordlen: int, alphabet_len: int = 4,
-                        bucket: int = 32, max_hits: int = 4):
+                        bucket: int = 32, max_hits: int = 4,
+                        target_chunk: int = 32):
     """Best-overlap statistics for every (query, target) pair of a block.
 
     Args:
@@ -97,13 +99,29 @@ def overlap_stats_block(q_codes, q_lens, t_codes, t_lens, *,
         _pair_diag_histogram, nbins=nbins, bucket=bucket, lt_off=L,
         max_hits=max_hits,
     )
-    # vmap over targets, then queries -> [Nq, Nt, nbins]
-    per_q = jax.vmap(
-        lambda qrow: jax.vmap(
-            lambda tsk, tsp: hist_fn(qrow, tsk, tsp)
-        )(t_sorted_keys, t_sorted_pos)
-    )
-    hists = per_q(qk)
+    # queries x targets histograms.  The naive double-vmap would
+    # materialize [Nq, Nt, L] searchsorted intermediates (gigabytes at
+    # N ~ 1000); instead targets stream in chunks via lax.map so peak
+    # temporaries stay [Nq, target_chunk, L].
+    C = min(target_chunk, Nt)
+    Ntp = ((Nt + C - 1) // C) * C
+    pad_t = Ntp - Nt
+    tsk = jnp.pad(t_sorted_keys, ((0, pad_t), (0, 0)),
+                  constant_values=KEY_SENTINEL)
+    tsp = jnp.pad(t_sorted_pos, ((0, pad_t), (0, 0)))
+    tsk = tsk.reshape(Ntp // C, C, L)
+    tsp = tsp.reshape(Ntp // C, C, L)
+
+    def chunk_hists(chunk):
+        csk, csp = chunk
+        return jax.vmap(
+            lambda qrow: jax.vmap(
+                lambda k, p: hist_fn(qrow, k, p)
+            )(csk, csp)
+        )(qk)
+
+    hists = jax.lax.map(chunk_hists, (tsk, tsp))        # [nc, Nq, C, nbins]
+    hists = jnp.moveaxis(hists, 0, 1).reshape(Nq, Ntp, nbins)[:, :Nt]
 
     # 3-bucket sliding window over diagonals = band of width ~3*bucket
     padded = jnp.pad(hists, ((0, 0), (0, 0), (1, 1)))
@@ -193,14 +211,38 @@ def overlap_matrix_sharded(codes, lengths, *, wordlen: int = 8,
 
 def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
                         min_score: float = 25.0, min_p: float = 0.5,
-                        **kw):
-    """Significant overlap pairs from the sharded matrix.
+                        method: str = "auto", **kw):
+    """Significant overlap pairs from the all-vs-all matrix.
+
+    ``method``: 'sorted' (single-device sort-join engine — the fast path,
+    ~100k pair-scores/s on v5e), 'blockwise' (mesh-sharded per-pair
+    search), or 'auto' (sorted when it fits).
 
     Returns a list of ``(q, t, diag, p, s0)`` with q < t, filtered by H0
     rejection and match-probability thresholds (mirrors what the reference
     pipeline extracted from per-pair WordBlotOverlap runs).
     """
-    stats = overlap_matrix_sharded(codes, lengths, wordlen=wordlen, **kw)
+    N, L = np.asarray(codes).shape
+    if method == "auto":
+        nbins = (2 * L) // kw.get("bucket", 32) + 2
+        method = "sorted" if N * N * nbins < 2 ** 31 else "blockwise"
+    if method == "sorted":
+        from ..ops.allvsall_sorted import overlap_stats_sorted
+
+        stats = {
+            k: np.asarray(v) for k, v in overlap_stats_sorted(
+                jnp.asarray(np.asarray(codes, np.int8)),
+                jnp.asarray(np.asarray(lengths, np.int32)),
+                wordlen=wordlen, n_reads=int(N),
+                bucket=kw.get("bucket", 32),
+                max_run=kw.get("max_hits", 4),
+            ).items()
+        }
+    else:
+        kw.pop("max_hits", None)
+        stats = overlap_matrix_sharded(
+            codes, lengths, wordlen=wordlen, **kw
+        )
     N = stats["p"].shape[0]
     out = []
     for q in range(N):

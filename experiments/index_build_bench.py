@@ -51,25 +51,29 @@ def main():
     n = int(np.asarray(n_valid))
     t_build = time.time() - t0
 
-    # --- all-vs-all seed stats for one query block vs all reads ---
-    q = codes[: args.block]
-    ql = lens[: args.block]
-    stats = overlap_stats_block(q, ql, codes, lens, wordlen=w)
+    # --- full all-vs-all via the sort-join engine ---
+    from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
+
+    w_join = max(w, 12) if N * L > 2_000_000 else w  # scale-appropriate k
+    stats = overlap_stats_sorted(
+        codes, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
+    )
     _ = np.asarray(stats["s0"])
     t0 = time.time()
-    stats = overlap_stats_block(q, ql, codes, lens, wordlen=w)
+    stats = overlap_stats_sorted(
+        codes, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
+    )
     _ = np.asarray(stats["s0"])
-    t_block = time.time() - t0
-    pair_rate = args.block * N / t_block
+    t_all = time.time() - t0
 
     print(json.dumps({
         "reads": N, "read_len": L, "wordlen": w,
         "kmers_indexed": n,
         "t_table_build_s": round(t_build, 4),
         "kmers_per_s": round(n / t_build),
-        "t_block_vs_all_s": round(t_block, 4),
-        "pair_scores_per_s": round(pair_rate),
-        "est_all_vs_all_s": round(t_block * (N / args.block), 2),
+        "join_wordlen": w_join,
+        "t_all_vs_all_s": round(t_all, 3),
+        "pair_scores_per_s": round(N * N / t_all),
         "backend": jax.default_backend(),
     }))
 

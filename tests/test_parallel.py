@@ -165,3 +165,29 @@ def test_kmer_index_db_events(tmp_path, rng):
     idx.refresh()
     assert idx.num_seqs == 2
     assert idx.num_kmers == 7 + 5
+
+
+def test_sorted_allvsall_matches_blockwise(rng):
+    """Sort-join all-vs-all agrees with the per-pair search formulation."""
+    from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
+
+    reads, starts = _reads_with_overlaps(rng, n_reads=8, glen=2000,
+                                         rlen=600)
+    codes, lens = pack_sequences(reads, pad_to=768)
+    sorted_stats = overlap_stats_sorted(
+        jnp.asarray(codes), jnp.asarray(lens), wordlen=8,
+        n_reads=len(reads), bucket=32, max_run=8,
+    )
+    s0 = np.asarray(sorted_stats["s0"])
+    diag = np.asarray(sorted_stats["diag"])
+    n = len(reads)
+    # same qualitative structure as the blockwise test: neighbors overlap
+    for q in range(n - 1):
+        t = q + 1
+        assert s0[q, t] > 25, (q, t, s0[q, t])
+        true_d = starts[t] - starts[q]
+        assert abs(diag[q, t] - true_d) <= 64, (q, t, diag[q, t], true_d)
+    assert s0[0, n - 1] < 25
+    # symmetric pairs: the reverse direction sees the mirrored diagonal
+    for q in range(n - 1):
+        assert abs(diag[q + 1, q] + diag[q, q + 1]) <= 2 * 32
