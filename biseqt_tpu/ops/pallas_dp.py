@@ -53,10 +53,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
             s_hbm, t2_hbm,
-            score_ref, ei_ref, ek_ref,
-            H_sc, sbuf, tbuf, sems,
-            *, W: int, LSp: int, BT: int, A: int, go: float, ge: float,
-            flags: ModeFlags, uniform: tuple):
+            score_ref, ei_ref, ek_ref, *rest,
+            W: int, LSp: int, BT: int, A: int, go: float, ge: float,
+            flags: ModeFlags, uniform: tuple, with_dirs: bool = False):
+    if with_dirs:
+        (dirs_hbm, H_sc, sbuf, tbuf, sems,
+         dbuf, dsems, best_sc, bi_sc, bk_sc) = rest
+    else:
+        H_sc, sbuf, tbuf, sems = rest
     b = pl.program_id(0)
     row0 = b * BT
     karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -64,10 +68,12 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
     gek = ge * kf
     cgek = (go + ge) - gek
     shift_masks = {}
-    s = 1
-    while s < W:
-        shift_masks[s] = karange >= s
-        s *= 2
+    cover = 1
+    while cover < W:
+        for mult in (1, 2, 3):
+            if mult * cover < W:
+                shift_masks[mult * cover] = karange >= (mult * cover)
+        cover *= 4
     mask_up = karange < (W - 1)
     dmax = dmax_ref[:, :1]
     slen = slen_ref[:, :1]
@@ -89,6 +95,11 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
     else:
         h0 = jnp.where(j0 > 0, go + ge * j0.astype(jnp.float32), 0.0)
     H0 = jnp.where(valid0, h0, NEG)
+
+    if with_dirs:
+        best_sc[:] = jnp.full((BT, 1), NEG)
+        bi_sc[:] = jnp.zeros((BT, 1), jnp.int32)
+        bk_sc[:] = jnp.zeros((BT, 1), jnp.int32)
 
     if uniform is None:
         srows = [
@@ -139,6 +150,13 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
     track_col = flags.free_end_edges
     track_local = flags.local_end
 
+    def dirs_dma(slot, c):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dirs_hbm.at[pl.ds(row0, BT), pl.ds(c * _R, _R), :],
+            dsems.at[slot],
+        )
+
     def chunk_body(c, carry):
         H, F, best_vec = carry
         slot = c % 2
@@ -148,6 +166,11 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
             start_dma(1 - slot, c + 1)
 
         wait_dma(slot, c)
+        if with_dirs:
+            # the slot's previous dirs write-out must have landed
+            @pl.when(c >= 2)
+            def _():
+                dirs_dma(slot, c - 2).wait()
         s_chunk = sbuf[slot]
         t_chunk = tbuf[slot]
 
@@ -158,7 +181,11 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
             sub = sub_score(s_char, t_win)
 
             diag_cand = H + sub
-            F = shl1(jnp.maximum(H + go, F)) + ge
+            if with_dirs:
+                F_ext = shl1(F) + ge
+                F = jnp.maximum(shl1(H + go) + ge, F_ext)
+            else:
+                F = shl1(jnp.maximum(H + go, F)) + ge
             H_pre = jnp.maximum(diag_cand, F)
             if flags.local_start:
                 H_pre = jnp.maximum(H_pre, 0.0)
@@ -169,28 +196,96 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
                 )
             H_pre = jnp.where(lane_ok, H_pre, NEG)
 
-            # E chain: closed-form prefix max (log2 W shifted maxes).
-            # (A mask-free double-width variant was measured slower: the
-            # 2x-wide rolls cost more than the per-step fills they save.)
+            # E chain: closed-form prefix max, radix-4 Hillis-Steele — the
+            # three rolls of each stage are independent, so the dependency
+            # chain is ~log4(W) max-trees instead of log2(W) serial steps.
+            # (A mask-free double-width variant was measured slower.)
             P = shr(H_pre, 1) + cgek
-            sh = 1
-            while sh < W:
-                P = jnp.maximum(P, shr(P, sh))
-                sh *= 2
-            H_new = jnp.maximum(H_pre, P + gek)
+            cover = 1
+            while cover < W:
+                terms = [P] + [
+                    shr(P, m * cover) for m in (1, 2, 3) if m * cover < W
+                ]
+                while len(terms) > 1:
+                    terms = [
+                        jnp.maximum(terms[i], terms[i + 1])
+                        if i + 1 < len(terms) else terms[i]
+                        for i in range(0, len(terms), 2)
+                    ]
+                P = terms[0]
+                cover *= 4
+            E = P + gek
+            H_new = jnp.maximum(H_pre, E)
+
+            if with_dirs:
+                # direction byte, identical semantics to the lax engine
+                # (ops/banded_dp._row_update): bits 0-1 H-source, bit 2
+                # E-extend, bit 3 F-extend
+                d = jnp.where(
+                    H_new == diag_cand, 1,
+                    jnp.where(H_new == E, 2, 3),
+                )
+                if flags.local_start:
+                    d = jnp.where(
+                        (H_new == 0.0) & (diag_cand < 0.0), 0, d
+                    )
+                if flags.free_start_edges:
+                    jj = karange + (i - dmax)
+                    d = jnp.where(
+                        (jj == 0) & (H_new == 0.0) & (F < 0.0), 0, d
+                    )
+                e_ext = (P == shr(P, 1)).astype(jnp.int32)
+                f_ext = (F == F_ext).astype(jnp.int32)
+                # int32 arithmetic (Mosaic vectors are i16/i32 only);
+                # bit packing via mul/add, cast to u8 only at the store
+                byte = d + e_ext * 4 + f_ext * 8
+                j_idx2 = karange + (i - dmax)
+                cell_ok = (
+                    (j_idx2 >= 0) & (j_idx2 <= tlen) & lane_ok
+                    & (i <= slen)
+                )
+                dbuf[slot, :, r, :] = jnp.where(
+                    cell_ok, byte, 0
+                ).astype(jnp.uint8)
 
             # freeze rows beyond each pair's length (one lane-broadcast)
             H = jnp.where(i <= slen, H_new, H)
 
             if track_local:
                 best_vec = jnp.maximum(best_vec, H)
+                if with_dirs:
+                    masked = jnp.where(lane_ok, H_new, NEG)
+                    rowmax = jnp.max(masked, axis=1, keepdims=True)
+                    rowarg = jnp.argmax(masked, axis=1).astype(
+                        jnp.int32
+                    )[:, None]
+                    better = (i <= slen) & (rowmax > best_sc[:])
+                    bi_sc[:] = jnp.where(better, i, bi_sc[:])
+                    bk_sc[:] = jnp.where(better, rowarg, bk_sc[:])
+                    best_sc[:] = jnp.where(better, rowmax, best_sc[:])
             if track_col:
                 # j == |T| column: lane k = tlen - i + dmax this row
                 kcol = tlen - i + dmax
-                best_vec = jnp.maximum(
-                    best_vec,
-                    jnp.where((karange == kcol) & (i <= slen), H, NEG),
-                )
+                colvec = jnp.where((karange == kcol) & (i <= slen), H, NEG)
+                best_vec = jnp.maximum(best_vec, colvec)
+                if with_dirs:
+                    colval = jnp.max(colvec, axis=1, keepdims=True)
+                    better = colval > best_sc[:]
+                    bi_sc[:] = jnp.where(better, i, bi_sc[:])
+                    bk_sc[:] = jnp.where(better, kcol, bk_sc[:])
+                    best_sc[:] = jnp.where(better, colval, best_sc[:])
+                    # last row (i == slen): any j
+                    masked = jnp.where(lane_ok, H_new, NEG)
+                    rowmax = jnp.max(masked, axis=1, keepdims=True)
+                    rowarg = jnp.argmax(masked, axis=1).astype(
+                        jnp.int32
+                    )[:, None]
+                    better = (i == slen) & (rowmax > best_sc[:])
+                    bi_sc[:] = jnp.where(better, i, bi_sc[:])
+                    bk_sc[:] = jnp.where(better, rowarg, bk_sc[:])
+                    best_sc[:] = jnp.where(better, rowmax, best_sc[:])
+        if with_dirs:
+            dirs_dma(slot, c).start()
         return (H, F, best_vec)
 
     H, F, best_vec = jax.lax.fori_loop(
@@ -198,6 +293,12 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
         (H0, jnp.full((BT, W), NEG), jnp.full((BT, W), NEG)),
     )
     H_sc[:] = H
+    if with_dirs:
+        # drain the last two dirs write-outs
+        @pl.when(n_chunks >= 2)
+        def _():
+            dirs_dma(jnp.int32(n_chunks - 2) % 2, n_chunks - 2).wait()
+        dirs_dma(jnp.int32(n_chunks - 1) % 2, n_chunks - 1).wait()
 
     # post-loop extraction (frozen rows: H holds each pair's last real row)
     kcorner = tlen - slen + dmax
@@ -215,17 +316,25 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
     else:
         score = corner
     score_ref[:] = score
-    ei_ref[:] = slen
-    ek_ref[:] = kcorner
+    if with_dirs and (flags.local_end or flags.free_end_edges):
+        ei_ref[:] = bi_sc[:]
+        ek_ref[:] = bk_sc[:]
+    else:
+        ei_ref[:] = slen
+        ek_ref[:] = kcorner
 
 
 def banded_dp_pallas(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                      subst, go: float, ge: float, flags: ModeFlags,
                      w_eff=None, A: int = 4, block_b: int = 64,
-                     interpret: bool = False):
-    """Pallas-backed batched banded DP; score-mode contract of
-    :func:`biseqt_tpu.ops.banded_dp.banded_dp` (``dirs`` empty; ``end_i``/
-    ``end_j`` meaningful for global-like modes only).
+                     interpret: bool = False, with_dirs: bool = False):
+    """Pallas-backed batched banded DP; contract of
+    :func:`biseqt_tpu.ops.banded_dp.banded_dp`.
+
+    ``with_dirs=True`` additionally streams per-cell direction bytes
+    (identical format to the lax engine) to HBM chunk-by-chunk, and tracks
+    the optimum cell for local/overlap modes — the full ``pwlib`` parity
+    path for big batches; host traceback walks the returned array.
 
     ``go``/``ge`` are static floats (baked into the kernel); ``W`` must be
     a multiple of 128; ``go <= 0`` and ``ge <= 0`` are required by the
@@ -247,19 +356,19 @@ def banded_dp_pallas(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         s_codes, t_codes, s_lens, t_lens, dmin,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
-        uniform=uniform,
+        uniform=uniform, with_dirs=with_dirs,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
-                     "uniform"),
+                     "uniform", "with_dirs"),
 )
 def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                           w_eff, *, W: int, go: float, ge: float,
                           flags: ModeFlags, A: int, block_b: int,
-                          interpret: bool, uniform):
+                          interpret: bool, uniform, with_dirs: bool = False):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     LSp = _round_up(LS, _R)
@@ -298,12 +407,36 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     grid = (Bp // BT,)
     kernel = functools.partial(
         _kernel, W=W, LSp=LSp, BT=BT, A=A, go=float(go), ge=float(ge),
-        flags=flags, uniform=uniform,
+        flags=flags, uniform=uniform, with_dirs=with_dirs,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM
     )
-    score, ei, ek = pl.pallas_call(
+    out_specs = [vspec((BT, 1))] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((BT, W), jnp.float32),           # H out staging
+        pltpu.VMEM((2, BT, _R), jnp.int32),         # s double buffer
+        pltpu.VMEM((2, BT, W + _R), jnp.int32),     # t2 double buffer
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if with_dirs:
+        out_specs = out_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((Bp, LSp, W), jnp.uint8)
+        ]
+        scratch = scratch + [
+            pltpu.VMEM((2, BT, _R, W), jnp.uint8),  # dirs double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((BT, 1), jnp.float32),       # best
+            pltpu.VMEM((BT, 1), jnp.int32),         # bi
+            pltpu.VMEM((BT, 1), jnp.int32),         # bk
+        ]
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -316,22 +449,9 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             pl.BlockSpec(memory_space=pltpu.ANY),   # s codes (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # t2 stream (HBM)
         ],
-        out_specs=[
-            vspec((BT, 1)),
-            vspec((BT, 1)),
-            vspec((BT, 1)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((BT, W), jnp.float32),           # H out staging
-            pltpu.VMEM((2, BT, _R), jnp.int32),         # s double buffer
-            pltpu.VMEM((2, BT, W + _R), jnp.int32),     # t2 double buffer
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # the unrolled row body gets single-assignment stack slots from
             # Mosaic; allow it to use more than the 16M default (v5e has
@@ -341,10 +461,15 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         interpret=interpret,
     )(dmax_p[:, None], s_lens_p[:, None], t_lens_p[:, None],
       weff_p[:, None], subst_flat, s_codes, t2)
+    if with_dirs:
+        score, ei, ek, dirs_out = out
+        dirs = dirs_out[:B, :LS]
+    else:
+        score, ei, ek = out
+        dirs = jnp.zeros((), jnp.uint8)
 
     score = score[:B, 0]
     ei = ei[:B, 0]
     ek = ek[:B, 0]
     ej = ei - dmax + ek
-    return DPResult(score=score, end_i=ei, end_j=ej,
-                    dirs=jnp.zeros((), jnp.uint8))
+    return DPResult(score=score, end_i=ei, end_j=ej, dirs=dirs)

@@ -81,3 +81,54 @@ def test_pallas_ragged_batch(rng):
     np.testing.assert_allclose(
         np.asarray(out.score), np.asarray(ref.score), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_pallas_dirs_match_lax(rng, flags):
+    """Direction bytes + optimum cell match the lax engine exactly."""
+    from biseqt_tpu.ops.banded_dp import traceback_path
+
+    B = 3
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 100, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S)
+        ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=128)
+    t_codes, t_lens = pack_sequences(ts, pad_to=128)
+    W = 128
+    dmin = jnp.asarray([-64] * B, jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags)
+    ref = banded_dp(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+        with_dirs=True, **kw
+    )
+    out = banded_dp_pallas(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+        with_dirs=True, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(out.score),
+                               np.asarray(ref.score), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.end_i),
+                                  np.asarray(ref.end_i))
+    np.testing.assert_array_equal(np.asarray(out.end_j),
+                                  np.asarray(ref.end_j))
+    # traceback over pallas bytes reproduces the lax walk
+    for b in range(B):
+        tx_p, i_p, j_p = traceback_path(
+            np.asarray(out.dirs[b]), s_codes[b], t_codes[b],
+            int(out.end_i[b]), int(out.end_j[b]),
+            banded=True, dmax=int(dmin[b]) + W - 1, flags=flags,
+        )
+        tx_l, i_l, j_l = traceback_path(
+            np.asarray(ref.dirs[b]), s_codes[b], t_codes[b],
+            int(ref.end_i[b]), int(ref.end_j[b]),
+            banded=True, dmax=int(dmin[b]) + W - 1, flags=flags,
+        )
+        assert (tx_p, i_p, j_p) == (tx_l, i_l, j_l), (flags, b)
