@@ -39,28 +39,37 @@ __all__ = ["overlap_stats_sorted"]
 @functools.partial(
     jax.jit,
     static_argnames=("wordlen", "alphabet_len", "bucket", "max_run",
-                     "n_reads"),
+                     "n_reads", "n_local"),
 )
 def overlap_stats_sorted(codes, lengths, *, wordlen: int,
                          n_reads: int, alphabet_len: int = 4,
-                         bucket: int = 64, max_run: int = 4):
+                         bucket: int = 64, max_run: int = 4,
+                         n_local: int = None, q_lo=None):
     """Best-overlap-band statistics for every ordered read pair.
 
     Args:
         codes: int8 [N, L]; lengths: int32 [N]; ``n_reads`` == N (static).
         bucket: diagonal bucket width (band resolution).
         max_run: per-entry partner cap within a k-mer run (repeat guard).
+        n_local / q_lo: optionally restrict query rows to the window
+            ``[q_lo, q_lo + n_local)`` — the mesh-sharded mode, where each
+            device owns a row block of the pair matrix (q_lo may be a
+            traced value, e.g. ``axis_index * n_local``).
 
-    Returns dict of [N, N] arrays: ``window`` (best 3-bucket band seed
-    count), ``diag`` (band center diagonal, d = pos_q - pos_t), ``p``
-    (match-prob estimate), ``s0`` (H0 rejection score), ``olap_len``.
+    Returns dict of [n_local or N, N] arrays: ``window`` (best 3-bucket
+    band seed count), ``diag`` (band center diagonal, d = pos_q - pos_t),
+    ``p`` (match-prob estimate), ``s0`` (H0 score), ``olap_len``.
     """
     from . import blot_stats
 
     N, L = codes.shape
     assert N == n_reads
+    if n_local is None:
+        n_local = N
+        q_lo = 0
+    q_lo = jnp.int32(q_lo)
     nbins = (2 * L) // bucket + 2
-    n_pairs = N * N
+    n_pairs = n_local * N
     assert n_pairs * nbins < 2 ** 31, (
         "composite key overflows int32; raise bucket or shard reads"
     )
@@ -81,15 +90,19 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
         p2 = jnp.concatenate([poss[h:], jnp.zeros((h,), poss.dtype)])
         valid = (keys == k2) & (keys != KEY_SENTINEL)
         valid &= seqs != s2  # seeds across distinct reads only
-        # composite (q, t, dbucket); both orders appear since the table
-        # holds all reads — emit both directions from one comparison
+        # composite (q_local, t, dbucket); both directions emitted, each
+        # masked by query ownership of this row window
         d_ab = jnp.clip((poss - p2) + L, 0, 2 * L)
         d_ba = jnp.clip((p2 - poss) + L, 0, 2 * L)
-        comp_ab = (seqs * N + s2) * nbins + d_ab // bucket
-        comp_ba = (s2 * N + seqs) * nbins + d_ba // bucket
+        la = seqs - q_lo
+        lb = s2 - q_lo
+        own_a = (la >= 0) & (la < n_local)
+        own_b = (lb >= 0) & (lb < n_local)
+        comp_ab = (la * N + s2) * nbins + d_ab // bucket
+        comp_ba = (lb * N + seqs) * nbins + d_ba // bucket
         big = jnp.int32(2 ** 31 - 1)
-        slots.append(jnp.where(valid, comp_ab, big))
-        slots.append(jnp.where(valid, comp_ba, big))
+        slots.append(jnp.where(valid & own_a, comp_ab, big))
+        slots.append(jnp.where(valid & own_b, comp_ba, big))
     comp = jnp.concatenate(slots)                     # [2*max_run*M]
     comp = jax.lax.sort(comp)
 
@@ -143,9 +156,11 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     best_bin = jnp.maximum(best_enc, 0) % nbins
 
     # geometry + statistics per pair
-    qlen = lengths[:, None].astype(jnp.float32)
+    qlen = jax.lax.dynamic_slice(
+        lengths.astype(jnp.float32), (q_lo,), (n_local,)
+    )[:, None]
     tlen = lengths[None, :].astype(jnp.float32)
-    centers = (best_bin.reshape(N, N) * bucket + bucket // 2) - L
+    centers = (best_bin.reshape(n_local, N) * bucket + bucket // 2) - L
     d = centers.astype(jnp.float32)
     olap = jnp.maximum(
         jnp.minimum(jnp.minimum(qlen - d, tlen + d),
@@ -153,7 +168,7 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
         0.0,
     )
     seglen = jnp.maximum(olap, 1.0)
-    w = best_w.reshape(N, N).astype(jnp.float32)
+    w = best_w.reshape(n_local, N).astype(jnp.float32)
     p_hat = blot_stats.estimate_match_probability(w, seglen, wordlen)
     area = (3.0 * bucket) * seglen
     s0, _ = blot_stats.h0_h1_scores(
@@ -161,7 +176,7 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     )
     plausible = olap >= 2.0 * wordlen
     return {
-        "window": best_w.reshape(N, N),
+        "window": best_w.reshape(n_local, N),
         "diag": centers.astype(jnp.int32),
         "p": jnp.where(plausible, p_hat, 0.0),
         "s0": jnp.where(plausible, s0, 0.0),

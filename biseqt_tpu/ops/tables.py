@@ -128,6 +128,25 @@ def expand_join(starts, counts, capacity: int):
     return q, t, valid, total.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
+def seed_total(codes0, len0, codes1, len1, wordlen: int,
+               alphabet_len: int = 4):
+    """Exact number of seeds between a pair, without materializing them.
+
+    One searchsorted pass — lets callers size :func:`seed_join`'s static
+    capacity right the first time instead of re-compiling through doubling.
+    """
+    k0 = kmer_keys(codes0[None, :], jnp.asarray([len0], jnp.int32),
+                   wordlen, alphabet_len)[0]
+    k1 = kmer_keys(codes1[None, :], jnp.asarray([len1], jnp.int32),
+                   wordlen, alphabet_len)[0]
+    sk1 = jax.lax.sort(k1)
+    starts, ends = hit_ranges(sk1, k0)
+    return jnp.sum(
+        jnp.where(k0 != KEY_SENTINEL, ends - starts, 0)
+    ).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("wordlen", "alphabet_len", "capacity"))
 def seed_join(codes0, len0, codes1, len1, wordlen: int,
               alphabet_len: int = 4, capacity: int = 1 << 18):

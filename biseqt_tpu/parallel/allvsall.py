@@ -209,6 +209,55 @@ def overlap_matrix_sharded(codes, lengths, *, wordlen: int = 8,
     return {k: np.asarray(v)[:N, :N] for k, v in out.items()}
 
 
+def overlap_matrix_sorted_sharded(codes, lengths, *, wordlen: int = 8,
+                                  alphabet_len: int = 4, bucket: int = 64,
+                                  max_run: int = 4, mesh=None):
+    """Mesh-sharded sort-join all-vs-all: each device owns a row block.
+
+    Reads replicate via all-gather over ICI (they are small — the k-mer
+    *table* is rebuilt per device, which is one cheap radix sort); the
+    quadratic part — pair composites, the big sort, segment stats — is
+    sharded by query rows, so throughput scales with chips.
+    """
+    from ..ops.allvsall_sorted import overlap_stats_sorted
+    from jax import shard_map
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    N, L = np.asarray(codes).shape
+    Np = ((N + n_data - 1) // n_data) * n_data
+    codes_p = np.full((Np, L), -1, np.int8)
+    codes_p[:N] = np.asarray(codes, np.int8)
+    lens_p = np.zeros((Np,), np.int32)
+    lens_p[:N] = np.asarray(lengths, np.int32)
+    n_local = Np // n_data
+
+    def shard_fn(q_codes, q_lens):
+        codes_all = jax.lax.all_gather(
+            q_codes, DATA_AXIS, axis=0, tiled=True
+        )
+        lens_all = jax.lax.all_gather(
+            q_lens, DATA_AXIS, axis=0, tiled=True
+        )
+        me = jax.lax.axis_index(DATA_AXIS)
+        return overlap_stats_sorted(
+            codes_all, lens_all, wordlen=wordlen, n_reads=Np,
+            alphabet_len=alphabet_len, bucket=bucket, max_run=max_run,
+            n_local=n_local, q_lo=me * n_local,
+        )
+
+    keys = ("window", "diag", "p", "s0", "olap_len")
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs={k: P(DATA_AXIS, None) for k in keys},
+        check_vma=False,
+    )
+    out = jax.jit(fn)(jnp.asarray(codes_p), jnp.asarray(lens_p))
+    return {k: np.asarray(v)[:N, :N] for k, v in out.items()}
+
+
 def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
                         min_score: float = 25.0, min_p: float = 0.5,
                         method: str = "auto", **kw):

@@ -82,9 +82,15 @@ class SeedIndex:
         A = len(self.alphabet)
         s = jnp.asarray(self.S.to_array()[None, :])
         t = jnp.asarray(self.T.to_array()[None, :])
-        # expected background seeds + slack; doubles on overflow
-        expect = int(ls * lt / max(A ** self.wordlen, 1)) + min(ls, lt)
-        cap = capacity_hint or max(1 << 12, _next_pow2(4 * expect))
+        # exact count first (cheap pass) so the expansion compiles for the
+        # right capacity bucket immediately — no doubling recompiles
+        if capacity_hint is None:
+            total_exact = int(tables.seed_total(
+                s[0], jnp.int32(ls), t[0], jnp.int32(lt), self.wordlen, A
+            ))
+            cap = max(1 << 12, _next_pow2(total_exact + 1))
+        else:
+            cap = capacity_hint
         while True:
             out = tables.seed_join(
                 s[0], jnp.int32(ls), t[0], jnp.int32(lt),

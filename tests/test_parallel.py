@@ -191,3 +191,24 @@ def test_sorted_allvsall_matches_blockwise(rng):
     # symmetric pairs: the reverse direction sees the mirrored diagonal
     for q in range(n - 1):
         assert abs(diag[q + 1, q] + diag[q, q + 1]) <= 2 * 32
+
+
+def test_sorted_sharded_matches_single_device(rng):
+    from biseqt_tpu.parallel.allvsall import overlap_matrix_sorted_sharded
+    from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
+
+    reads, _ = _reads_with_overlaps(rng, n_reads=8, glen=2000, rlen=600)
+    codes, lens = pack_sequences(reads, pad_to=768)
+    sharded = overlap_matrix_sorted_sharded(
+        codes, lens, wordlen=8, bucket=32, mesh=make_mesh()
+    )
+    single = overlap_stats_sorted(
+        jnp.asarray(codes), jnp.asarray(lens), wordlen=8,
+        n_reads=len(reads), bucket=32,
+    )
+    np.testing.assert_allclose(
+        sharded["s0"], np.asarray(single["s0"]), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        sharded["diag"], np.asarray(single["diag"])
+    )
