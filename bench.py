@@ -23,7 +23,7 @@ def main():
     from biseqt_tpu.ops.banded_dp import ModeFlags
     from biseqt_tpu.ops.pallas_dp import banded_dp_pallas
 
-    B, L, BW = 512, 10240, 100
+    B, L, BW = 4096, 10240, 100
     W = 128
     block_b = 256
     subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
@@ -46,7 +46,7 @@ def main():
                            **kw)
     _ = np.asarray(res.score)
 
-    n = 5
+    n = 3
     argsets = [mkargs(k + 1) for k in range(n)]
     for a in argsets:
         jax.block_until_ready(a)

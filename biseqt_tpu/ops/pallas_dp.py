@@ -391,15 +391,29 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     dmax_p = padb(dmax, 0)
     weff_p = padb(w_eff.astype(jnp.int32), W)
 
-    # band frame: T2[b, y] = T[b, y - dmax_b] for y in [0, LSp + W)
+    # band frame: T2[b, y] = T[b, y - dmax_b] for y in [0, LSp + W).
+    # A row-dependent gather is ~3x the kernel's own cost on TPU, so the
+    # variable shift is done as a binary-decomposed batched roll: each of
+    # ~15 steps is a full-width rotate + select (pure VPU), and the final
+    # validity mask blanks wrapped/out-of-range lanes.
     Y = LSp + W
+    t_codes_p = jnp.pad(
+        t_codes.astype(jnp.int8),
+        ((0, Bp - B), (0, max(Y - LT, 0))), constant_values=0,
+    )[:, :Y]
+    # normalize to a nonnegative rotate amount in [0, Y)
+    shift = jnp.mod(dmax_p[:, None], Y)
+    t2 = t_codes_p
+    bit = 1
+    while bit < Y:
+        t2 = jnp.where(
+            (shift & bit) != 0, jnp.roll(t2, bit, axis=1), t2
+        )
+        bit <<= 1
     yy = jnp.arange(Y, dtype=jnp.int32)[None, :]
     src = yy - dmax_p[:, None]
-    t_codes_p = jnp.pad(t_codes, ((0, Bp - B), (0, 0)), constant_values=0)
     t2 = jnp.where(
-        (src >= 0) & (src < t_lens_p[:, None]),
-        jnp.take_along_axis(t_codes_p, jnp.clip(src, 0, LT - 1), axis=1),
-        -1,
+        (src >= 0) & (src < t_lens_p[:, None]), t2.astype(jnp.int32), -1
     )
     subst_flat = subst.reshape(1, A * A)
 
