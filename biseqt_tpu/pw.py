@@ -228,7 +228,10 @@ class Aligner:
         assert go_score <= 0, "gap open score must be <= 0"
         self.go_score = float(go_score)
         self.ge_score = float(ge_score)
-        assert backend in ("lax", "native"), backend
+        assert backend in ("lax", "native", "pallas"), backend
+        if backend == "pallas":
+            assert alnmode == BANDED_MODE, "pallas backend is banded-only"
+            assert ge_score <= 0, "pallas backend needs ge <= 0"
         self.backend = backend
         self._entered = False
         self._result = None
@@ -250,6 +253,8 @@ class Aligner:
         assert self._entered, "use Aligner as a context manager"
         if self.backend == "native":
             return self._solve_native()
+        if self.backend == "pallas":
+            return self._solve_pallas()
         ls, lt = len(self.origin), len(self.mutate)
         s_arr = self.origin.to_array(np.int8)
         t_arr = self.mutate.to_array(np.int8)
@@ -290,6 +295,35 @@ class Aligner:
         if score <= -1e29:
             return None
         return score
+
+    def _solve_pallas(self):
+        """TPU-kernel solve (banded modes; direction bytes on device)."""
+        from .ops.pallas_dp import banded_dp_pallas
+
+        dmin, dmax = self.diag_range
+        W = dmax - dmin + 1
+        Wp = _bucket(W, mini=128)
+        ls, lt = len(self.origin), len(self.mutate)
+        s = np.full((1, max(ls, 1)), -1, np.int8)
+        s[0, :ls] = self.origin.to_array(np.int8)
+        t = np.full((1, max(lt, 1)), -1, np.int8)
+        t[0, :lt] = self.mutate.to_array(np.int8)
+        import jax
+
+        res = banded_dp_pallas(
+            jnp.asarray(s), jnp.asarray(t),
+            jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
+            jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
+            subst=self.subst_scores, go=self.go_score, ge=self.ge_score,
+            flags=_FLAGS[self.alntype], with_dirs=True,
+            w_eff=jnp.asarray([W], jnp.int32),
+            interpret=jax.default_backend() == "cpu",
+        )
+        self._banded = True
+        self._dmax = dmax
+        self._result = res
+        score = float(res.score[0])
+        return None if score <= -1e29 else score
 
     def _solve_native(self):
         """Host-side solve via the C++ engine (same conventions/bytes)."""

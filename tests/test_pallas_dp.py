@@ -132,3 +132,26 @@ def test_pallas_dirs_match_lax(rng, flags):
             banded=True, dmax=int(dmin[b]) + W - 1, flags=flags,
         )
         assert (tx_p, i_p, j_p) == (tx_l, i_l, j_l), (flags, b)
+
+
+def test_aligner_pallas_backend(rng):
+    """Aligner(backend='pallas') solves + tracebacks like the lax backend."""
+    from biseqt_tpu import pw
+    from biseqt_tpu.pw import Aligner
+
+    M = MutationProcess(A4, subst_probs=0.1, go_prob=0.04, ge_prob=0.15,
+                        rng=rng)
+    S = rand_seq(A4, 120, rng=rng)
+    T, _ = M.mutate(S)
+    kw = dict(alnmode=pw.BANDED_MODE, alntype=pw.B_GLOBAL,
+              diag_range=(-30, 30), go_score=-2.0, ge_score=-1.0)
+    with Aligner(S, T, **kw) as a_lax:
+        s_lax = a_lax.solve()
+        tx_lax = a_lax.traceback()
+    with Aligner(S, T, backend="pallas", **kw) as a_p:
+        s_p = a_p.solve()
+        tx_p = a_p.traceback()
+    assert s_p == pytest.approx(s_lax, abs=1e-3)
+    assert tx_p.calculate_score(
+        a_p.subst_scores, -2.0, -1.0
+    ) == pytest.approx(s_lax, abs=1e-3)
