@@ -151,20 +151,23 @@ class WordBlot:
 
         For each seed, counts neighbors within its band neighborhood
         (±band_radius in d, ±K in a, up to bucket quantization) and
-        converts to p̂.  Mirrors ``WordBlot.score_seeds``.
+        converts to p̂.  Mirrors ``WordBlot.score_seeds``; fully
+        vectorized (one grid lookup + one p̂ formula over all seeds).
         """
         grid, neigh, dcell, acell, r = self._grids(K)
         d_, a = self.seed_index.seed_arrays()
         lt = len(self.T)
-        out = []
         win_cols = min(2 * 3 * acell, 2 * (min(len(self.S), len(self.T))))
-        for dd, aa in zip(d_, a):
-            n = int(neigh[int(dd) // dcell, int(aa) // acell])
-            p = self.estimate_match_probability(n, win_cols // 2)
-            i = (aa + dd - lt) // 2
-            j = (aa - (dd - lt)) // 2
-            out.append({"seed": (int(i), int(j)), "neighs": n, "p": float(p)})
-        return out
+        ns = neigh[d_ // dcell, a // acell]
+        ps = np.asarray(blot_stats.estimate_match_probability(
+            ns.astype(np.float32), float(win_cols // 2), self.wordlen
+        ))
+        ii = (a + d_ - lt) // 2
+        jj = (a - (d_ - lt)) // 2
+        return [
+            {"seed": (int(i), int(j)), "neighs": int(n), "p": float(p)}
+            for i, j, n, p in zip(ii, jj, ns, ps)
+        ]
 
     # dense (d, a) grids beyond this many cells switch to the sparse
     # run-merging assembler (genome-scale pairs)

@@ -234,3 +234,14 @@ def test_overlap_ref_matches_pairwise(rng):
     assert res_ref is not None and res_pair is not None
     assert res_ref["d_band"] == res_pair["d_band"]
     assert res_ref["p"] == pytest.approx(res_pair["p"], abs=1e-6)
+
+
+def test_score_seeds(rng):
+    S, T, _, _ = _planted_pair(rng, flank=200, core=300)
+    wb = WordBlot(S, T, wordlen=8, g_max=0.2)
+    scored = wb.score_seeds(K=150)
+    assert len(scored) == len(wb.seed_index)
+    # seeds inside the planted core should score higher p than background
+    core_p = [s["p"] for s in scored if 200 <= s["seed"][0] < 500]
+    bg_p = [s["p"] for s in scored if s["seed"][0] < 150]
+    assert core_p and np.mean(core_p) > (np.mean(bg_p) if bg_p else 0.3)
