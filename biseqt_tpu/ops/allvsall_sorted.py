@@ -142,18 +142,47 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     dbin = uniq_comp % nbins
     valid_row = uniq_comp < 2 ** 31 - 1
     window = jnp.where(valid_row, window, 0)
-    best_w = jax.ops.segment_max(
-        window, pair_id, num_segments=n_pairs,
-        indices_are_sorted=True,
+    # sparse long-K noise guard: windows below the count floor never win
+    window = jnp.where(window >= 5, window, 0)
+    # rank rows by background-corrected excess (a gather-free significance
+    # proxy: raw counts favor long bands whose larger background explains
+    # their seeds): excess = n - E[bg] - 3*sqrt(E[bg])
+    seglen_row = jnp.maximum(
+        jnp.float32(L) - jnp.abs(
+            (dbin * bucket + bucket // 2 - L).astype(jnp.float32)
+        ),
+        1.0,
     )
-    best_w = jnp.maximum(best_w, 0)
-    # winning bucket: segment_max over encoded (window, dbin)
-    enc = window * jnp.int32(nbins) + dbin
+    bg = 3.0 * bucket * seglen_row * (
+        jnp.float32(alphabet_len) ** jnp.float32(-wordlen)
+    )
+    excess = window.astype(jnp.float32) - bg - 3.0 * jnp.sqrt(bg + 1.0)
+    rank_q = jnp.clip((excess * 16.0), 0, 2 ** 22).astype(jnp.int32)
+    # winning bucket: segment_max over encoded (rank, dbin); the winner's
+    # window count is reconstructed from its rank + that bucket's
+    # background (1/16-count quantization — immaterial downstream)
+    enc = rank_q * jnp.int32(nbins) + dbin
     best_enc = jax.ops.segment_max(
         jnp.where(valid_row, enc, -1), pair_id, num_segments=n_pairs,
         indices_are_sorted=True,
     )
-    best_bin = jnp.maximum(best_enc, 0) % nbins
+    best_enc = jnp.maximum(best_enc, 0)
+    best_bin = best_enc % nbins
+    best_rank = (best_enc // nbins).astype(jnp.float32) / 16.0
+    seglen_best = jnp.maximum(
+        jnp.float32(L) - jnp.abs(
+            (best_bin * bucket + bucket // 2 - L).astype(jnp.float32)
+        ),
+        1.0,
+    )
+    bg_best = 3.0 * bucket * seglen_best * (
+        jnp.float32(alphabet_len) ** jnp.float32(-wordlen)
+    )
+    best_w = jnp.where(
+        best_rank > 0,
+        best_rank + bg_best + 3.0 * jnp.sqrt(bg_best + 1.0),
+        0.0,
+    ).astype(jnp.int32)
 
     # geometry + statistics per pair
     qlen = jax.lax.dynamic_slice(

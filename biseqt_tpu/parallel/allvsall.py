@@ -143,9 +143,11 @@ def overlap_stats_block(q_codes, q_lens, t_codes, t_lens, *,
     s0, _ = blot_stats.h0_h1_scores(
         w, area, seglen, jnp.maximum(p_hat, 1e-3), wordlen, alphabet_len
     )
-    # rank bands by estimated matched columns among plausible overlaps
-    ok = olap >= 2.0 * wordlen
-    rank = jnp.where(ok, p_hat * seglen, -1.0)
+    # rank bands by H0 significance: p̂·K structurally favors long sparse
+    # bands (p̂ decays only as the 1/w-th root), stealing the argmax from
+    # short true overlaps; -log p-value normalizes for band area
+    ok = (olap >= 2.0 * wordlen) & (window >= 5)
+    rank = jnp.where(ok, s0, -1.0)
     best = jnp.argmax(rank, axis=2)
 
     take = lambda arr: jnp.take_along_axis(
@@ -260,6 +262,7 @@ def overlap_matrix_sorted_sharded(codes, lengths, *, wordlen: int = 8,
 
 def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
                         min_score: float = 25.0, min_p: float = 0.5,
+                        min_olap_len: int = 0,
                         method: str = "auto", **kw):
     """Significant overlap pairs from the all-vs-all matrix.
 
@@ -297,7 +300,8 @@ def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
     for q in range(N):
         for t in range(q + 1, N):
             if (stats["s0"][q, t] >= min_score
-                    and stats["p"][q, t] >= min_p):
+                    and stats["p"][q, t] >= min_p
+                    and stats["olap_len"][q, t] >= min_olap_len):
                 out.append((
                     q, t, int(stats["diag"][q, t]),
                     float(stats["p"][q, t]), float(stats["s0"][q, t]),

@@ -43,9 +43,17 @@ def true_overlap(starts, read_len, q, t, min_olap):
     return o >= min_olap
 
 
+def ambiguous_overlap(starts, read_len, q, t, min_olap):
+    """True overlap exists but is below the labeling threshold —
+    detecting it is correct behavior, not a false positive; such pairs
+    are excluded from precision/recall accounting."""
+    o = read_len - abs(starts[q] - starts[t])
+    return 2 * 8 < o < min_olap
+
+
 @with_dumpfile
 def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
-        wordlen=8, min_olap=500, min_score=25.0, min_p=0.4, seed=0):
+        wordlen=8, min_olap=500, min_score=60.0, min_p=0.4, seed=0):
     rng = np.random.default_rng(seed)
     reads, starts = simulate_reads(rng, genome_len, read_len, n_reads, err)
     codes, lens = pack_sequences(reads)
@@ -56,8 +64,11 @@ def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
     d_errs = []
     for q in range(n_reads):
         for t in range(q + 1, n_reads):
+            if ambiguous_overlap(starts, read_len, q, t, min_olap):
+                continue
             pred = (stats["s0"][q, t] >= min_score
-                    and stats["p"][q, t] >= min_p)
+                    and stats["p"][q, t] >= min_p
+                    and stats["olap_len"][q, t] >= min_olap // 2)
             truth = true_overlap(starts, read_len, q, t, min_olap)
             if pred and truth:
                 tp += 1
