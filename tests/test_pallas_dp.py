@@ -15,6 +15,8 @@ FLAG_CASES = [
     ModeFlags(),
     ModeFlags(local_start=True, local_end=True),
     ModeFlags(free_start_edges=True, free_end_edges=True),
+    ModeFlags(local_end=True),            # start-anchored
+    ModeFlags(local_start=True),          # end-anchored
 ]
 
 
