@@ -85,7 +85,7 @@ def test_pallas_ragged_batch(rng):
     )
 
 
-@pytest.mark.parametrize("flags", FLAG_CASES)
+@pytest.mark.parametrize("flags", FLAG_CASES[:3])
 def test_pallas_dirs_match_lax(rng, flags):
     """Direction bytes + optimum cell match the lax engine exactly."""
     from biseqt_tpu.ops.banded_dp import traceback_path
