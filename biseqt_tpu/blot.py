@@ -157,10 +157,14 @@ class WordBlot:
         grid, neigh, dcell, acell, r = self._grids(K)
         d_, a = self.seed_index.seed_arrays()
         lt = len(self.T)
-        win_cols = min(2 * 3 * acell, 2 * (min(len(self.S), len(self.T))))
+        # the 3x3 grid neighborhood spans ~3 a-cells = 6K antidiagonals =
+        # ~3K alignment columns; use the SAME window-column count as
+        # similar_segments' calibration (3 * acell / 2) so per-seed p̂ is
+        # not systematically underestimated by a factor ~2^(1/w)
+        seg_cols = min(3 * acell / 2.0, float(min(len(self.S), len(self.T))))
         ns = neigh[d_ // dcell, a // acell]
         ps = np.asarray(blot_stats.estimate_match_probability(
-            ns.astype(np.float32), float(win_cols // 2), self.wordlen
+            ns.astype(np.float32), seg_cols, self.wordlen
         ))
         ii = (a + d_ - lt) // 2
         jj = (a - (d_ - lt)) // 2

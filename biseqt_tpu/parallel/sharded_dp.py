@@ -54,15 +54,24 @@ def _band_shard_fn(s_codes, t2, s_lens, t_lens, dmax, w_eff, subst,
     left_perm = [(i, i + 1) for i in range(nb - 1)]   # i sends to i+1
 
     def from_right(x_first_lane):
-        """Each device receives its right neighbor's first lane."""
+        """Each device receives its right neighbor's first lane.
+
+        ppermute fills non-addressed destinations with ZEROS — on the last
+        band shard there is no right neighbor, so the received value must
+        be masked back to NEG or a phantom H=0 predecessor enters at the
+        global dmin band edge every row.
+        """
         if nb == 1:
             return jnp.full_like(x_first_lane, NEG)
-        return jax.lax.ppermute(x_first_lane, BAND_AXIS, right_perm)
+        got = jax.lax.ppermute(x_first_lane, BAND_AXIS, right_perm)
+        return jnp.where(me == nb - 1, NEG, got)
 
     def from_left(x_last_lane):
+        # device 0 has no left neighbor: mask ppermute's zero fill to NEG
         if nb == 1:
             return jnp.full_like(x_last_lane, NEG)
-        return jax.lax.ppermute(x_last_lane, BAND_AXIS, left_perm)
+        got = jax.lax.ppermute(x_last_lane, BAND_AXIS, left_perm)
+        return jnp.where(me == 0, NEG, got)
 
     j0 = karange - dmax_c
     H0 = _init_row(j0, tlen_c, go, ge, flags)

@@ -123,6 +123,39 @@ def test_band_sharded_dp_matches_unsharded(rng):
         )
 
 
+def test_band_sharded_dp_edge_lanes_valid(rng):
+    """Parity case whose global band edges fall INSIDE the valid cell
+    region (W < sequence length) with an all-mismatch pair, so edge cells
+    carry very negative values: catches the ppermute zero-fill halo bug
+    (phantom H=0 predecessors at the outermost band shards) that the
+    W=256 / 120-length test above cannot see."""
+    B, L, W = 2, 96, 64
+    s_codes = np.zeros((B, L), np.int8)          # all 'A'
+    t_codes = np.full((B, L), 1, np.int8)        # all 'C' -> all-mismatch
+    t_codes[1, :48] = 0                          # second pair: half match
+    lens = jnp.asarray(np.full((B,), L, np.int32))
+    dmin = jnp.asarray([-32, -32], jnp.int32)    # dmax=31 << L: edges live
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes), lens, lens, dmin,
+            W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+        )
+        with mesh:
+            got = banded_dp_band_sharded(
+                jnp.asarray(s_codes), jnp.asarray(t_codes), lens, lens,
+                dmin, W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                mesh=mesh,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
+
+
 def test_checkpointed_sweep_resumes(tmp_path, rng):
     from biseqt_tpu.parallel.sweep import checkpointed_overlap_sweep
     from biseqt_tpu.parallel.allvsall import overlap_stats_block
