@@ -82,28 +82,42 @@ class KmerIndex:
             self.load(path)
 
     # -- building -------------------------------------------------------------
-    def index_kmers(self, seqs: Iterable[Sequence]):
+    def index_kmers(self, seqs: Iterable[Sequence], append: bool = False):
         """(Re)build the table over ``seqs`` (one shot, one radix sort).
 
         Unlike the reference's per-sequence INSERT loops, indexing is a
-        single batched pack + sort; call once with the full collection.
+        single batched pack + sort.  With ``append=True`` the new batch is
+        merged into the existing table (one stable sort of the
+        concatenation — the incremental path :meth:`refresh` uses), with
+        sequence ids continuing after the already-indexed sequences.
         """
         seqs = list(seqs)
         if not seqs:
             raise ValueError("no sequences to index")
-        self._ids = [getattr(s, "content_id", None) for s in seqs]
-        self._lens = [len(s) for s in seqs]
+        if not append:
+            self._ids, self._lens = [], []
+            self._keys = self._seqs = self._poss = None
+            self._n = 0
+        base = len(self._lens)
+        self._ids += [getattr(s, "content_id", None) for s in seqs]
+        self._lens += [len(s) for s in seqs]
         codes, lengths = pack_sequences(seqs)
         keys, sids, poss, n_valid = tables.build_kmer_table(
             jnp.asarray(codes), jnp.asarray(lengths),
             self.wordlen, len(self.alphabet),
         )
         n = int(n_valid)
-        # trim sentinel tail; keep on device
-        self._keys = keys[:n]
-        self._seqs = sids[:n]
-        self._poss = poss[:n]
-        self._n = n
+        keys, sids, poss = keys[:n], sids[:n] + base, poss[:n]
+        if self._n:
+            keys = jnp.concatenate([self._keys, keys])
+            sids = jnp.concatenate([self._seqs, sids])
+            poss = jnp.concatenate([self._poss, poss])
+            order = jnp.argsort(keys, stable=True)
+            keys, sids, poss = keys[order], sids[order], poss[order]
+        self._keys = keys
+        self._seqs = sids
+        self._poss = poss
+        self._n = int(keys.shape[0])
         if self.path:
             self.save(self.path)
         return self
@@ -196,10 +210,15 @@ class KmerIndex:
         return self
 
     def refresh(self):
-        """Index everything accumulated via :meth:`attach_to`."""
+        """Index sequences accumulated via :meth:`attach_to` since the
+        last refresh, merging them into the existing table (incremental:
+        each batch is sorted once and merged — repeated refreshes do NOT
+        re-index earlier sequences, and sequences indexed directly via
+        :meth:`index_kmers` are preserved)."""
         pending = getattr(self, "_pending", [])
         if pending:
-            self.index_kmers(pending)
+            self._pending = []
+            self.index_kmers(pending, append=self._n > 0)
         return self
 
     # -- table access for downstream ops (seeds) ------------------------------

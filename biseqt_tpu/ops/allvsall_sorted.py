@@ -33,7 +33,50 @@ import jax.numpy as jnp
 
 from .tables import build_kmer_table, KEY_SENTINEL
 
-__all__ = ["overlap_stats_sorted"]
+__all__ = ["overlap_stats_sorted", "overlap_stats_sorted_chunked"]
+
+
+def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
+                                 n_reads: int, alphabet_len: int = 4,
+                                 bucket: int = 64, max_run: int = 4,
+                                 max_chunk: int = None):
+    """:func:`overlap_stats_sorted` for any N: when the int32 composite
+    key (q_local * N * nbins) would overflow, query rows are processed in
+    equal-size windows via the existing ``n_local``/``q_lo`` machinery.
+
+    All chunks share one compiled program (q_lo is traced, shapes are
+    identical; the last window is shifted to overlap rather than
+    shrunk).  This removes the single-device read-count ceiling — at
+    L=10 kbp / bucket=64 the unchunked path caps at ~2.6k reads; chunked,
+    N is bounded only by memory for the [N, N] outputs.
+    """
+    N, L = codes.shape
+    assert N == n_reads
+    nbins = (2 * L) // bucket + 2
+    limit = max(int((2 ** 31 - 1) // (nbins * N)), 1)
+    if max_chunk is not None:
+        limit = min(limit, int(max_chunk))
+    kw = dict(wordlen=wordlen, n_reads=n_reads, alphabet_len=alphabet_len,
+              bucket=bucket, max_run=max_run)
+    if limit >= N:
+        return overlap_stats_sorted(codes, lengths, **kw)
+    out = None
+    q_lo = 0
+    while q_lo < N:
+        if q_lo + limit > N:
+            q_lo = N - limit          # shifted last window (same shape)
+        part = overlap_stats_sorted(
+            codes, lengths, n_local=limit, q_lo=q_lo, **kw
+        )
+        if out is None:
+            out = {
+                k: np.zeros((N,) + v.shape[1:], np.asarray(v).dtype)
+                for k, v in part.items()
+            }
+        for k, v in part.items():
+            out[k][q_lo:q_lo + limit] = np.asarray(v)
+        q_lo += limit
+    return out
 
 
 @functools.partial(

@@ -194,7 +194,6 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
                 H_pre = jnp.where(
                     j_idx == 0, jnp.maximum(H_pre, 0.0), H_pre
                 )
-            H_pre = jnp.where(lane_ok, H_pre, NEG)
 
             # E chain: closed-form prefix max, radix-4 Hillis-Steele — the
             # three rolls of each stage are independent, so the dependency
@@ -215,7 +214,12 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
                 P = terms[0]
                 cover *= 4
             E = P + gek
-            H_new = jnp.maximum(H_pre, E)
+            # mask dead lanes AFTER the E merge (matching the lax engine's
+            # _row_update): masking only H_pre leaves live E values on
+            # lanes k >= w_eff, which leak back into live lanes through
+            # next row's F shift — an outside-the-band path (overscores
+            # when a gap detour around the band edge beats in-band paths)
+            H_new = jnp.where(lane_ok, jnp.maximum(H_pre, E), NEG)
 
             if with_dirs:
                 # direction byte, identical semantics to the lax engine

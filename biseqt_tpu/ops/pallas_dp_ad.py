@@ -1,0 +1,433 @@
+"""Pallas TPU kernel: antidiagonal dual-pair banded affine-gap DP (score).
+
+Second-generation throughput kernel for the reference's C hot loop
+(``biseqt/pwlib — dptable_solve``).  The row-form kernel
+(:mod:`.pallas_dp`) iterates DP *rows*; its per-row cost is dominated by
+the within-row affine E-chain (a log-depth prefix max, ~24 of ~40 vector
+ops per row).  This kernel removes the prefix max entirely by iterating
+**antidiagonals** (a = i + j): every DP predecessor then lives in a
+*previous* wavefront —
+
+  * diag (i-1, j-1): same lane, step a-2;
+  * E-pred (i, j-1):  lane d+1, step a-1 (one static lane shift);
+  * F-pred (i-1, j):  lane d-1, step a-1;
+
+so the affine chains become single shifted maxes and the step body is
+~17 vector ops instead of ~40.
+
+The classic cost of the antidiagonal layout is lattice parity: cell
+(i, j) exists on lane d = i - j only when (a + d) is even, which idles
+half the lanes.  Here the odd sublattice is **a second, independent
+pair**: tile row b holds pairs (2b, 2b+1), pair p's band start is
+adjusted so that dmin' ≡ p (mod 2), and the interleaved char streams
+SI[z] = S_{z mod 2}[(z + dmin') / 2] / TI[u] (built with the same
+binary-decomposed per-pair roll as the row kernel's band frame) feed
+both pairs from one sliding window — 100% lane utilization, zero extra
+steps.
+
+Score extraction: per-step maxima accumulate into two alternating
+vectors (even/odd step a); because pair p's slots satisfy
+(a + k) ≡ p (mod 2), the post-loop separation by lane parity recovers
+per-pair scores exactly.  Mode trackers (local max, overlap rays,
+global corner) accumulate into the same two vectors through per-step
+masks.
+
+Score-only: direction bytes / traceback are served by the row kernel or
+the lax engine.  Contract and oracle: :func:`.banded_dp.banded_dp`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded_dp import NEG, DPResult, ModeFlags
+
+__all__ = ["banded_dp_pallas_ad"]
+
+_R = 128          # antidiagonal steps per chunk (DMA granularity, unroll)
+PAD_S = -1        # s-stream pad code (never equals a t code)
+PAD_T = -2
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
+            sl0_ref, sl1_ref, tl0_ref, tl1_ref, subst_ref,
+            si_hbm, tir_hbm,
+            score0_ref, score1_ref, sbuf, tbuf, sems,
+            *, W: int, Apad: int, BT: int, A: int, go: float, ge: float,
+            flags: ModeFlags, uniform, R: int):
+    b = pl.program_id(0)
+    row0 = b * BT
+    karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    even_k = (karange % 2) == 0
+
+    dmin0 = dmin0_ref[:, :1]
+    dmin1 = dmin1_ref[:, :1]
+    lo0, lo1 = lo0_ref[:, :1], lo1_ref[:, :1]   # live-lane range [lo, hi)
+    hi0, hi1 = hi0_ref[:, :1], hi1_ref[:, :1]
+    sl0, sl1 = sl0_ref[:, :1], sl1_ref[:, :1]
+    tl0, tl1 = tl0_ref[:, :1], tl1_ref[:, :1]
+
+    # live-lane masks per slot parity of the step index a.  Pair p owns
+    # slots with (a + k) ≡ p (mod 2) (dmin'_p ≡ p by construction), so at
+    # even a, even lanes are pair 0; at odd a they swap.  The effective
+    # band is the TOP w_eff diagonals (the engine-wide convention: pw.py
+    # passes dmin = dmax - W + 1 and w_eff = the requested width).
+    # additive float masks (0 on live lanes, NEG on dead): Mosaic cannot
+    # select between two i1 vectors (i8->i1 trunc unsupported), and an
+    # add is the same single op as the select would be
+    okf0 = jnp.where((karange >= lo0) & (karange < hi0), 0.0, NEG)
+    okf1 = jnp.where((karange >= lo1) & (karange < hi1), 0.0, NEG)
+    lane_okf_aeven = jnp.where(even_k, okf0, okf1)
+    lane_okf_aodd = jnp.where(even_k, okf1, okf0)
+
+    mask_up = karange < (W - 1)    # E shift: lane k <- k + 1, wrap at W-1
+    mask_lo = karange >= 1        # F shift: lane k <- k - 1, wrap at 0
+
+    sltl0 = sl0 + tl0
+    sltl1 = sl1 + tl1
+    kc0 = sl0 - tl0 - dmin0        # global corner lane (i=slen, j=tlen)
+    kc1 = sl1 - tl1 - dmin1
+
+    if uniform is None:
+        srows = [
+            [subst_ref[0, a * A + bb] for bb in range(A)] for a in range(A)
+        ]
+
+    def sub_score(s_win, t_win):
+        if uniform is not None:
+            m, mm = uniform
+            return jnp.where(s_win == t_win, m, mm)
+        base = jnp.zeros(t_win.shape, jnp.float32)
+        for a in range(A):
+            row = jnp.full(t_win.shape, srows[a][0], jnp.float32)
+            for bb in range(1, A):
+                row = jnp.where(t_win == bb, srows[a][bb], row)
+            base = jnp.where(s_win == a, row, base)
+        # pads never match; poison both-sided pads for non-local safety
+        return jnp.where((s_win < 0) | (t_win < 0), jnp.float32(-1.0), base)
+
+    n_chunks = Apad // R
+    TLEN = Apad + W               # reversed t-stream length
+
+    def start_dma(slot, c):
+        pltpu.make_async_copy(
+            si_hbm.at[pl.ds(row0, BT), pl.ds(c * R, W + R)],
+            sbuf.at[slot], sems.at[slot, 0],
+        ).start()
+        tbase = pl.multiple_of(Apad - R - c * R, 128)
+        pltpu.make_async_copy(
+            tir_hbm.at[pl.ds(row0, BT), pl.ds(tbase, W + R)],
+            tbuf.at[slot], sems.at[slot, 1],
+        ).start()
+
+    def wait_dma(slot, c):
+        pltpu.make_async_copy(
+            si_hbm.at[pl.ds(row0, BT), pl.ds(c * R, W + R)],
+            sbuf.at[slot], sems.at[slot, 0],
+        ).wait()
+        tbase = pl.multiple_of(Apad - R - c * R, 128)
+        pltpu.make_async_copy(
+            tir_hbm.at[pl.ds(row0, BT), pl.ds(tbase, W + R)],
+            tbuf.at[slot], sems.at[slot, 1],
+        ).wait()
+
+    start_dma(0, 0)
+
+    # carries at loop entry represent state at a = -1 (H1, E, F) and
+    # a = -2 (H2).  The (0, 0) = 0 boundary for global-like modes is
+    # injected through H2: sub at (0, 0) is deterministic (both chars
+    # PAD -> mm or poison), so seeding H2[k0] = -sub00 makes the a = 0
+    # recurrence produce exactly H(0,0) = 0, and the E/F chains then
+    # grow the gap boundary rays automatically.
+    need_corner_seed = not (flags.local_start or flags.free_start_edges)
+    if uniform is not None:
+        sub00 = uniform[1]
+    else:
+        sub00 = -1.0  # the poison value the general path assigns to pads
+    if need_corner_seed:
+        k00 = -dmin0   # lane of (0,0) for pair 0 (even: a=0, k even)
+        k01 = -dmin1
+        seed = jnp.where(
+            (karange == k00) | (karange == k01), -sub00, NEG
+        ).astype(jnp.float32)
+        H2_0 = seed
+    else:
+        H2_0 = jnp.full((BT, W), NEG)
+
+    track_local = flags.local_end
+    track_rays = flags.free_end_edges
+    track_corner = not (track_local or track_rays)
+
+    def chunk_body(c, carry):
+        H2, H1, E, F, Ma, Mb = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_dma(1 - slot, c + 1)
+
+        wait_dma(slot, c)
+        s_chunk = sbuf[slot]
+        t_chunk = tbuf[slot]
+        a0 = c * R
+
+        for r in range(R):
+            a = a0 + r                      # traced (c) + static (r)
+            s_win = s_chunk[:, r:r + W]
+            t_win = t_chunk[:, (R - 1 - r):(R - 1 - r) + W]
+            sub = sub_score(s_win, t_win)
+
+            HpGo = H1 + go
+            E = jnp.where(
+                mask_up, pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1), NEG
+            ) + ge
+            F = jnp.where(
+                mask_lo, pltpu.roll(jnp.maximum(HpGo, F), 1, 1), NEG
+            ) + ge
+            H_new = jnp.maximum(jnp.maximum(H2 + sub, E), F)
+            if flags.local_start:
+                H_new = jnp.maximum(H_new, 0.0)
+            if flags.free_start_edges:
+                # boundary rays i == 0 (k = -dmin' - a) and j == 0
+                # (k = a - dmin') are free starts: H = max(H, 0) there.
+                ray = (
+                    (karange == (-dmin0 - a)) | (karange == (a - dmin0))
+                    | (karange == (-dmin1 - a)) | (karange == (a - dmin1))
+                )
+                H_new = jnp.maximum(H_new, jnp.where(ray, 0.0, NEG))
+            H_new = H_new + (
+                lane_okf_aeven if r % 2 == 0 else lane_okf_aodd
+            )
+
+            if track_local:
+                tracked = H_new
+            elif track_rays:
+                # overlap ends: i == slen ray (k = 2 slen - dmin' - a,
+                # gated to j in range) and j == tlen ray
+                # (k = a - dmin' - 2 tlen, gated to i in range)
+                cond = (
+                    ((karange == (2 * sl0 - dmin0 - a)) & (a >= sl0)
+                     & (a <= sltl0))
+                    | ((karange == (a - dmin0 - 2 * tl0)) & (a >= tl0)
+                       & (a <= sltl0))
+                    | ((karange == (2 * sl1 - dmin1 - a)) & (a >= sl1)
+                       & (a <= sltl1))
+                    | ((karange == (a - dmin1 - 2 * tl1)) & (a >= tl1)
+                       & (a <= sltl1))
+                )
+                tracked = jnp.where(cond, H_new, NEG)
+            else:
+                cond = (
+                    ((a == sltl0) & (karange == kc0))
+                    | ((a == sltl1) & (karange == kc1))
+                )
+                tracked = jnp.where(cond, H_new, NEG)
+            if r % 2 == 0:
+                Ma = jnp.maximum(Ma, tracked)
+            else:
+                Mb = jnp.maximum(Mb, tracked)
+
+            H2 = H1
+            H1 = H_new
+        return (H2, H1, E, F, Ma, Mb)
+
+    neg = jnp.full((BT, W), NEG)
+    init = (H2_0, neg, neg, neg, neg, neg)
+    _, _, _, _, Ma, Mb = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    # pair p's slots have (a + k) ≡ p: even-step accumulator Ma holds
+    # pair 0 on even lanes / pair 1 on odd lanes; Mb the reverse.
+    p0 = jnp.maximum(jnp.where(even_k, Ma, NEG), jnp.where(even_k, NEG, Mb))
+    p1 = jnp.maximum(jnp.where(even_k, Mb, NEG), jnp.where(even_k, NEG, Ma))
+    # clamp: the additive lane masks push dead lanes below NEG (they
+    # accumulate -1e30 per step); report dead results as exactly NEG
+    score0_ref[:] = jnp.maximum(jnp.max(p0, axis=1, keepdims=True), NEG)
+    score1_ref[:] = jnp.maximum(jnp.max(p1, axis=1, keepdims=True), NEG)
+
+
+def _shift_stream(codes, shifts, valid_len, out_len, pad):
+    """out[b, x] = codes[b, x + shifts[b]] if 0 <= x+shift < valid_len
+    else pad — batched variable shift as a binary-decomposed roll chain
+    (XLA gathers are ~3x a whole DP kernel on TPU; rolls are pure VPU).
+    """
+    B, L = codes.shape
+    if out_len > L:
+        codes = jnp.pad(codes, ((0, 0), (0, out_len - L)),
+                        constant_values=pad)
+    else:
+        codes = codes[:, :out_len]
+    rot = jnp.mod(shifts, out_len)        # roll left by `shifts`
+    out = codes
+    bit = 1
+    while bit < out_len:
+        out = jnp.where(
+            (rot & bit)[:, None] != 0, jnp.roll(out, -bit, axis=1), out
+        )
+        bit <<= 1
+    xx = jnp.arange(out_len, dtype=jnp.int32)[None, :]
+    src = xx + shifts[:, None]
+    return jnp.where((src >= 0) & (src < valid_len[:, None]), out, pad)
+
+
+def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
+                        subst, go: float, ge: float, flags: ModeFlags,
+                        w_eff=None, A: int = 4, block_b: int = 256,
+                        interpret: bool = False, r_chunk: int = _R):
+    """Antidiagonal dual-pair banded DP (score mode).
+
+    Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp` minus
+    direction bytes (``dirs`` is a 0-size array; ``end_i``/``end_j`` are
+    -1 sentinels — use the row kernel or lax engine when traceback or
+    end cells are needed).  Requires ``w_eff <= W - 1`` (one lane of
+    slack absorbs the per-pair parity adjustment of dmin).
+    """
+    assert W % 128 == 0, "pad band width to a multiple of 128"
+    assert go <= 0 and ge <= 0, "kernel requires nonpositive gap scores"
+    subst_np = np.asarray(jax.device_get(subst), np.float32)
+    diag_vals = np.diag(subst_np)
+    off_vals = subst_np[~np.eye(A, dtype=bool)]
+    uniform = None
+    if np.allclose(diag_vals, diag_vals[0]) and (
+            off_vals.size == 0 or np.allclose(off_vals, off_vals[0])):
+        uniform = (float(diag_vals[0]),
+                   float(off_vals[0]) if off_vals.size else 0.0)
+        # the uniform fast path scores PAD chars as a mismatch; that is
+        # only safe when mismatches decay (virtual off-matrix cells must
+        # never accumulate score)
+        if uniform[1] >= 0:
+            uniform = None
+    return _banded_dp_pallas_ad_jit(
+        s_codes, t_codes, s_lens, t_lens, dmin,
+        jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
+        flags=flags, A=A, block_b=block_b, interpret=interpret,
+        uniform=uniform, r_chunk=int(r_chunk),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
+                     "uniform", "r_chunk"),
+)
+def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
+                             w_eff, *, W: int, go: float, ge: float,
+                             flags: ModeFlags, A: int, block_b: int,
+                             interpret: bool, uniform, r_chunk: int = _R):
+    B, LS = s_codes.shape
+    LT = t_codes.shape[1]
+    if w_eff is None:
+        w_eff = jnp.full((B,), W - 1, jnp.int32)
+    w_eff = w_eff.astype(jnp.int32)
+    s_lens = s_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+    dmin = dmin.astype(jnp.int32)
+    s_codes = s_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
+
+    # pair up: tile row b2 holds pairs (2 b2, 2 b2 + 1)
+    BT = block_b
+    B2 = (B + 1) // 2
+    Bp2 = _round_up(B2, BT)
+    Bp = 2 * Bp2
+
+    def padb(x, fill):
+        return jnp.pad(x, ((0, Bp - B),), constant_values=fill)
+
+    s_codes = jnp.pad(s_codes, ((0, Bp - B), (0, 0)), constant_values=PAD_S)
+    t_codes = jnp.pad(t_codes, ((0, Bp - B), (0, 0)), constant_values=PAD_T)
+    s_lens_p = padb(s_lens, 1)
+    t_lens_p = padb(t_lens, 1)
+    dmin_p = padb(dmin, 0)
+    weff_p = padb(w_eff, 1)
+
+    # per-pair parity adjustment: pair p needs dmin' ≡ p (mod 2) so the
+    # two pairs occupy complementary sublattice slots.  Adjust UPWARD:
+    # the effective band is the top w_eff diagonals, so dropping the
+    # bottom lane is free (requires w_eff <= W - 1).
+    pair_id = jnp.arange(Bp, dtype=jnp.int32) % 2
+    up = jnp.mod(pair_id - dmin_p, 2)       # in {0, 1}
+    dminq = dmin_p + up                     # dmin' (parity p)
+
+    Apad = _round_up(LS + LT + 2, r_chunk)
+    SLEN = Apad + W                          # also even (both 128-mults)
+    Mlen = SLEN // 2
+
+    # interleaved streams: SI[z] = S_{z%2}[(z + dmin')/2 - 1] etc.
+    s_shift = jnp.where(pair_id == 0, dminq // 2 - 1,
+                        (dminq + 1) // 2 - 1)
+    # the t stream is indexed by x = u + W (u = a - k can reach -(W-1)),
+    # so its per-pair shift carries an extra -W/2 half-slots
+    t_shift = jnp.where(pair_id == 0, -(dminq // 2) - 1,
+                        (1 - dminq) // 2 - 1) - (W // 2)
+    s_half = _shift_stream(s_codes, s_shift, s_lens_p, Mlen, PAD_S)
+    t_half = _shift_stream(t_codes, t_shift, t_lens_p, Mlen, PAD_T)
+    # interleave pairs (2i, 2i+1) element-wise: [B2p, Mlen, 2] -> flat
+    si = jnp.stack(
+        [s_half[0::2], s_half[1::2]], axis=2
+    ).reshape(Bp2, SLEN)
+    ti = jnp.stack(
+        [t_half[0::2], t_half[1::2]], axis=2
+    ).reshape(Bp2, SLEN)
+    tir = jnp.flip(ti, axis=1)
+
+    def col(x):
+        return x.reshape(Bp2, 2)
+
+    dmin2 = col(dminq)
+    lo2 = col(W - up - weff_p)              # live lanes [lo, hi)
+    hi2 = col(W - up)
+    sl2 = col(s_lens_p)
+    tl2 = col(t_lens_p)
+
+    subst_flat = subst.reshape(1, A * A)
+    grid = (Bp2 // BT,)
+    kernel = functools.partial(
+        _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
+        flags=flags, uniform=uniform, R=r_chunk,
+    )
+    vspec = lambda shape: pl.BlockSpec(
+        shape, lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    scalar_ins = [
+        dmin2[:, 0:1], dmin2[:, 1:2], lo2[:, 0:1], lo2[:, 1:2],
+        hi2[:, 0:1], hi2[:, 1:2], sl2[:, 0:1], sl2[:, 1:2],
+        tl2[:, 0:1], tl2[:, 1:2],
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[vspec((BT, 1))] * 10 + [
+            pl.BlockSpec((1, A * A), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # si (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tir (HBM)
+        ],
+        out_specs=[vspec((BT, 1)), vspec((BT, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BT, W + r_chunk), jnp.int32),   # si buffer
+            pltpu.VMEM((2, BT, W + r_chunk), jnp.int32),   # tir buffer
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*scalar_ins, subst_flat, si, tir)
+    score = jnp.stack([out[0][:, 0], out[1][:, 0]], axis=1).reshape(Bp)[:B]
+    sent = jnp.full((B,), -1, jnp.int32)
+    return DPResult(score=score, end_i=sent, end_j=sent,
+                    dirs=jnp.zeros((), jnp.uint8))

@@ -295,15 +295,20 @@ def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
         stats = overlap_matrix_sharded(
             codes, lengths, wordlen=wordlen, **kw
         )
+    # vectorized upper-triangle extraction (an N^2 Python loop is a
+    # 1M-iteration host loop at N = 1000)
     N = stats["p"].shape[0]
-    out = []
-    for q in range(N):
-        for t in range(q + 1, N):
-            if (stats["s0"][q, t] >= min_score
-                    and stats["p"][q, t] >= min_p
-                    and stats["olap_len"][q, t] >= min_olap_len):
-                out.append((
-                    q, t, int(stats["diag"][q, t]),
-                    float(stats["p"][q, t]), float(stats["s0"][q, t]),
-                ))
-    return out
+    mask = (
+        (np.asarray(stats["s0"]) >= min_score)
+        & (np.asarray(stats["p"]) >= min_p)
+        & (np.asarray(stats["olap_len"]) >= min_olap_len)
+        & np.triu(np.ones((N, N), bool), k=1)
+    )
+    qq, tt = np.nonzero(mask)
+    diag = np.asarray(stats["diag"])[qq, tt]
+    pp = np.asarray(stats["p"])[qq, tt]
+    s0 = np.asarray(stats["s0"])[qq, tt]
+    return [
+        (int(q), int(t), int(d), float(p), float(s))
+        for q, t, d, p, s in zip(qq, tt, diag, pp, s0)
+    ]

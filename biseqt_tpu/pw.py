@@ -249,12 +249,21 @@ class Aligner:
     # -- solve / traceback ----------------------------------------------------
     def solve(self):
         """Fill the DP wavefront; returns the optimal score (or None if the
-        mode admits no alignment, e.g. a band missing the corner)."""
+        mode admits no alignment, e.g. a band missing the corner).
+
+        Score-only: direction bytes are NOT materialized here (a STD_MODE
+        solve of a 10 kbp pair would otherwise allocate a ~100 MB
+        [LS, LT] byte array per call); :meth:`traceback` re-solves with
+        direction bytes on demand and caches that result.
+        """
+        return self._solve(with_dirs=False)
+
+    def _solve(self, with_dirs: bool):
         assert self._entered, "use Aligner as a context manager"
         if self.backend == "native":
             return self._solve_native()
         if self.backend == "pallas":
-            return self._solve_pallas()
+            return self._solve_pallas(with_dirs)
         ls, lt = len(self.origin), len(self.mutate)
         s_arr = self.origin.to_array(np.int8)
         t_arr = self.mutate.to_array(np.int8)
@@ -273,7 +282,7 @@ class Aligner:
             res = full_dp(
                 s, t, sl, tl, subst=self.subst_scores,
                 go=self.go_score, ge=self.ge_score, flags=flags,
-                with_dirs=True,
+                with_dirs=with_dirs,
             )
             self._banded = False
             self._dmax = 0
@@ -285,18 +294,19 @@ class Aligner:
                 s, t, sl, tl,
                 jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
                 subst=self.subst_scores, go=self.go_score,
-                ge=self.ge_score, flags=flags, with_dirs=True,
+                ge=self.ge_score, flags=flags, with_dirs=with_dirs,
                 w_eff=jnp.asarray([W], jnp.int32),
             )
             self._banded = True
             self._dmax = dmax
         self._result = res
+        self._result_has_dirs = with_dirs
         score = float(res.score[0])
         if score <= -1e29:
             return None
         return score
 
-    def _solve_pallas(self):
+    def _solve_pallas(self, with_dirs: bool):
         """TPU-kernel solve (banded modes; direction bytes on device)."""
         from .ops.pallas_dp import banded_dp_pallas
 
@@ -315,13 +325,14 @@ class Aligner:
             jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
             jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
             subst=self.subst_scores, go=self.go_score, ge=self.ge_score,
-            flags=_FLAGS[self.alntype], with_dirs=True,
+            flags=_FLAGS[self.alntype], with_dirs=with_dirs,
             w_eff=jnp.asarray([W], jnp.int32),
             interpret=jax.default_backend() == "cpu",
         )
         self._banded = True
         self._dmax = dmax
         self._result = res
+        self._result_has_dirs = with_dirs
         score = float(res.score[0])
         return None if score <= -1e29 else score
 
@@ -364,9 +375,13 @@ class Aligner:
                 self.origin, self.mutate, ops, score=score,
                 origin_start=si, mutate_start=sj,
             )
-        res = self._result
-        if float(res.score[0]) <= -1e29:
+        if float(self._result.score[0]) <= -1e29:
             return None
+        if not self._result_has_dirs:
+            # solve() is score-only; re-solve with direction bytes (cached
+            # for repeated traceback calls)
+            self._solve(with_dirs=True)
+        res = self._result
         flags = _FLAGS[self.alntype]
         tx, i0, j0 = traceback_path(
             np.asarray(res.dirs[0]),

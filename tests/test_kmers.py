@@ -106,3 +106,42 @@ def test_build_kmer_table_sorted(rng):
     n = int(n)
     assert (np.diff(keys[:n]) >= 0).all()
     assert (keys[n:] == KEY_SENTINEL).all()
+
+
+def test_incremental_refresh_merges_batches():
+    """insert -> refresh -> insert -> refresh: both batches queryable,
+    earlier batches are not re-indexed or thrown away (regression: refresh
+    used to rebuild from only the latest pending batch)."""
+    import io
+    from biseqt_tpu.database import DB
+    from biseqt_tpu.kmers import KmerIndex
+
+    db = DB(":memory:", A4)
+    idx = KmerIndex(wordlen=4, alphabet=A4).attach_to(db)
+    db.load_fasta(io.StringIO(">a\nACGTACGTAC\n"))
+    idx.refresh()
+    assert idx.num_seqs == 1 and idx.num_kmers == 7
+    db.load_fasta(io.StringIO(">b\nTTACGTTT\n"))
+    idx.refresh()
+    assert idx.num_seqs == 2
+    assert idx.num_kmers == 7 + 5
+    # k-mer ACGT appears in both sequences with distinct seq ids
+    from biseqt_tpu.kmers import kmer_as_int
+    km = kmer_as_int([A4.letters.index(c) for c in "ACGT"], A4)
+    hits = idx.hits(km)
+    seqs_seen = {s for s, _ in hits}
+    assert seqs_seen == {0, 1}, hits
+    # refresh with nothing pending is a no-op
+    tbl = idx.table()
+    idx.refresh()
+    assert idx.table()[0] is tbl[0]
+    # direct index + refresh: direct batch preserved
+    idx2 = KmerIndex(wordlen=4, alphabet=A4)
+    from biseqt_tpu.sequence import Sequence
+    idx2.index_kmers([A4.parse("ACGTACGTAC")])
+    db2 = DB(":memory:", A4)
+    idx2.attach_to(db2)
+    db2.load_fasta(io.StringIO(">c\nTTACGTTT\n"))
+    idx2.refresh()
+    assert idx2.num_seqs == 2 and idx2.num_kmers == 12
+    assert {s for s, _ in idx2.hits(km)} == {0, 1}

@@ -56,6 +56,34 @@ def test_pallas_matches_lax(rng, flags):
                                       np.asarray(ref.end_j))
 
 
+def test_pallas_weff_band_leak(rng):
+    """w_eff < W must forbid paths through lanes >= w_eff.
+
+    Regression: masking only H_pre let live E values sit on dead lanes
+    and re-enter via next row's F shift — a gap detour around the band
+    edge that overscored (-4 vs -12 on this construction) whenever it
+    beat the in-band mismatch path."""
+    X = rng.integers(0, 4, 20).astype(np.int8)
+    Y = rng.integers(0, 4, 20).astype(np.int8)
+    Wb = rng.integers(0, 2, 20).astype(np.int8)
+    Zb = (2 + rng.integers(0, 2, 20)).astype(np.int8)
+    s = jnp.asarray(np.concatenate([X, Wb, Y])[None])
+    t = jnp.asarray(np.concatenate([X, Zb, Y])[None])
+    lens = jnp.asarray([60], jnp.int32)
+    dmin = jnp.asarray([7 - 127], jnp.int32)   # live band = lanes [0, 8)
+    w_eff = jnp.asarray([8], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -10.0).astype(np.float32)
+    for flags in FLAG_CASES[:3]:
+        kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                  w_eff=w_eff)
+        ref = banded_dp(s, t, lens, lens, dmin, **kw)
+        out = banded_dp_pallas(s, t, lens, lens, dmin, interpret=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out.score), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
+
+
 def test_pallas_ragged_batch(rng):
     """Different lengths + bands per pair, non-multiple batch size."""
     B = 3

@@ -174,3 +174,23 @@ def test_infeasible_band_returns_none(rng):
     with Aligner(S, T, alnmode=pw.BANDED_MODE, alntype=pw.B_GLOBAL,
                  diag_range=(5, 10), go_score=-1, ge_score=-1) as aln:
         assert aln.solve() is None
+
+
+def test_solve_is_dirs_lazy(rng):
+    """solve() must not materialize the [LS, LT] direction-byte array;
+    traceback() re-solves with dirs on demand and caches the result."""
+    S = rand_seq(A4, 100, rng=rng)
+    T = rand_seq(A4, 100, rng=rng)
+    with Aligner(S, T, alntype=pw.LOCAL, go_score=-2, ge_score=-1) as aln:
+        score = aln.solve()
+        assert not aln._result_has_dirs
+        assert aln._result.dirs.ndim == 0  # scalar placeholder, no bytes
+        alignment = aln.traceback()
+        assert aln._result_has_dirs
+        assert alignment.calculate_score(
+            aln.subst_scores, -2.0, -1.0
+        ) == pytest.approx(score, abs=1e-3)
+        # second traceback reuses the cached dirs solve
+        res_before = aln._result
+        aln.traceback()
+        assert aln._result is res_before
