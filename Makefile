@@ -1,6 +1,6 @@
 # Top-level targets (analog of the reference's Makefile glue).
 
-.PHONY: all native test lint bench clean
+.PHONY: all native test lint bench tpu-smoke clean
 
 all: native
 
@@ -10,12 +10,21 @@ native:
 test: native
 	python -m pytest tests/ -x -q
 
+# no flake8/pyflakes in this environment: compile-check every source file
+# (catches syntax errors and is a real failure, not a no-op)
 lint:
-	python -m pyflakes biseqt_tpu tests 2>/dev/null || \
-	python -m flake8 --select=F biseqt_tpu tests 2>/dev/null || true
+	python -m compileall -q biseqt_tpu tests experiments bench.py \
+	  __graft_entry__.py
 
 bench:
 	python bench.py
+
+# serialized real-chip regression: kernel-vs-lax scores (all modes), dirs
+# traceback parity, sorted all-vs-all sanity, quick throughput — one
+# command, JSON summary (protects against silent hardware regressions;
+# the main suite runs CPU-forced)
+tpu-smoke: native
+	python experiments/tpu_smoke.py
 
 clean:
 	$(MAKE) -C biseqt_tpu/native clean

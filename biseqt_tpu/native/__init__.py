@@ -14,7 +14,8 @@ import subprocess
 import numpy as np
 
 __all__ = [
-    "available", "align", "traceback", "fasta_pack", "dna_code_map",
+    "available", "align", "traceback", "traceback_batch", "fasta_pack",
+    "dna_code_map",
     "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
     "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
 ]
@@ -56,6 +57,14 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_traceback_batch.restype = ctypes.c_int
+    lib.bst_traceback_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.bst_fasta_scan.restype = ctypes.c_int
     lib.bst_fasta_scan.argtypes = [
@@ -137,6 +146,45 @@ def traceback(dirs, dmax, s, t, end_i, end_j, mode_flags):
     )
     assert n >= 0, "bst_traceback failed"
     return buf.value.decode("ascii"), int(si.value), int(sj.value)
+
+
+def traceback_batch(dirs, dmax, s_codes, t_codes, s_lens, t_lens,
+                    end_i, end_j, mode_flags):
+    """Batched traceback over [B, rows, W] direction bytes (one C call).
+
+    ``dmax`` is per-pair (int32 [B]).  Returns
+    ``(ops list[str], start_i int32[B], start_j int32[B])``.
+    """
+    lib = _load()
+    dirs = np.ascontiguousarray(dirs, np.uint8)
+    B, rows_cap, W = dirs.shape
+    s_codes = np.ascontiguousarray(s_codes, np.int8)
+    t_codes = np.ascontiguousarray(t_codes, np.int8)
+    i32 = lambda x: np.ascontiguousarray(x, np.int32)
+    dmax, s_lens, t_lens, end_i, end_j = map(
+        i32, (dmax, s_lens, t_lens, end_i, end_j)
+    )
+    ops_stride = int(s_codes.shape[1] + t_codes.shape[1] + 2)
+    ops_buf = np.zeros((B, ops_stride), np.uint8)
+    start_i = np.zeros((B,), np.int32)
+    start_j = np.zeros((B,), np.int32)
+    ops_len = np.zeros((B,), np.int32)
+    rc = lib.bst_traceback_batch(
+        dirs.ctypes.data, rows_cap, W, dmax.ctypes.data,
+        s_codes.ctypes.data, s_codes.shape[1],
+        t_codes.ctypes.data, t_codes.shape[1],
+        s_lens.ctypes.data, t_lens.ctypes.data,
+        end_i.ctypes.data, end_j.ctypes.data,
+        _flags_of(mode_flags), B, ops_stride,
+        ops_buf.ctypes.data, start_i.ctypes.data, start_j.ctypes.data,
+        ops_len.ctypes.data,
+    )
+    assert rc == 0, "bst_traceback_batch failed"
+    ops = [
+        ops_buf[b, : max(ops_len[b], 0)].tobytes().decode("ascii")
+        for b in range(B)
+    ]
+    return ops, start_i, start_j
 
 
 def dna_code_map(letters: str = "ACGT", lowercase: bool = True):

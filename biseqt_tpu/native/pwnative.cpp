@@ -166,12 +166,14 @@ int bst_traceback(const uint8_t* dirs, int W, int dmax,
             else state = 2;
         } else if (state == 1) {
             int k = j - i + dmax;
+            if (i < 1 || k < 0 || k >= W) return -1;
             uint8_t b = dirs[(size_t)(i - 1) * W + k];
             ops[n++] = 'I';
             --j;
             if (!((b >> 2) & 1) || j == 0) state = 0;
         } else {
             int k = j - i + dmax;
+            if (i < 1 || k < 0 || k >= W) return -1;
             uint8_t b = dirs[(size_t)(i - 1) * W + k];
             ops[n++] = 'D';
             --i;
@@ -187,6 +189,36 @@ int bst_traceback(const uint8_t* dirs, int W, int dmax,
     if (start_i) *start_i = i;
     if (start_j) *start_j = j;
     return n;
+}
+
+// Batched traceback: walk B pairs' direction-byte planes in one call —
+// the at-scale companion of the TPU kernel's with_dirs output (a Python
+// per-pair loop over 256 x 10 kbp walks costs seconds; this is microseconds
+// per pair).  dirs: [B, rows_cap, W] contiguous; s/t: [B, ls_cap/lt_cap];
+// per-pair lengths/ends/dmax; ops_out: [B, ops_stride] NUL-terminated.
+// Returns 0; per-pair transcript lengths in ops_len (-1 = walk error).
+int bst_traceback_batch(const uint8_t* dirs, int rows_cap, int W,
+                        const int32_t* dmax,
+                        const int8_t* s, int ls_cap,
+                        const int8_t* t, int lt_cap,
+                        const int32_t* s_lens, const int32_t* t_lens,
+                        const int32_t* end_i, const int32_t* end_j,
+                        int flags, int B, int ops_stride,
+                        char* ops_out, int32_t* start_i, int32_t* start_j,
+                        int32_t* ops_len) {
+    for (int b = 0; b < B; ++b) {
+        int si = 0, sj = 0;
+        int n = bst_traceback(
+            dirs + (size_t)b * rows_cap * W, W, dmax[b],
+            s + (size_t)b * ls_cap, s_lens[b],
+            t + (size_t)b * lt_cap, t_lens[b],
+            end_i[b], end_j[b], flags,
+            ops_out + (size_t)b * ops_stride, &si, &sj);
+        start_i[b] = si;
+        start_j[b] = sj;
+        ops_len[b] = n;
+    }
+    return 0;
 }
 
 // ---------------------------------------------------------------------

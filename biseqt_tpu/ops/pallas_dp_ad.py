@@ -64,7 +64,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             si_hbm, tir_hbm,
             score0_ref, score1_ref, sbuf, tbuf, sems,
             *, W: int, Apad: int, BT: int, A: int, go: float, ge: float,
-            flags: ModeFlags, uniform, R: int):
+            flags: ModeFlags, uniform, R: int, strip: int = 0):
     b = pl.program_id(0)
     row0 = b * BT
     karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -98,15 +98,23 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     kc0 = sl0 - tl0 - dmin0        # global corner lane (i=slen, j=tlen)
     kc1 = sl1 - tl1 - dmin1
 
+    # drifted-state formulation: every carried value represents
+    # H'(a) = H(a) + gd*a with gd = -ge, which cancels the per-step +ge
+    # of both gap chains (E' = max(H' + go, E'), F' likewise) — two fewer
+    # vector adds per step.  Substitution constants absorb +2*gd (diag
+    # predecessor is two steps back); clamps/trackers compare against the
+    # per-step scalar ga = gd*a.
+    gd = -ge
     if uniform is None:
         srows = [
-            [subst_ref[0, a * A + bb] for bb in range(A)] for a in range(A)
+            [subst_ref[0, a * A + bb] + 2.0 * gd for bb in range(A)]
+            for a in range(A)
         ]
 
     def sub_score(s_win, t_win):
         if uniform is not None:
             m, mm = uniform
-            return jnp.where(s_win == t_win, m, mm)
+            return jnp.where(s_win == t_win, m + 2.0 * gd, mm + 2.0 * gd)
         base = jnp.zeros(t_win.shape, jnp.float32)
         for a in range(A):
             row = jnp.full(t_win.shape, srows[a][0], jnp.float32)
@@ -114,7 +122,9 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 row = jnp.where(t_win == bb, srows[a][bb], row)
             base = jnp.where(s_win == a, row, base)
         # pads never match; poison both-sided pads for non-local safety
-        return jnp.where((s_win < 0) | (t_win < 0), jnp.float32(-1.0), base)
+        return jnp.where(
+            (s_win < 0) | (t_win < 0), jnp.float32(-1.0 + 2.0 * gd), base
+        )
 
     n_chunks = Apad // R
     TLEN = Apad + W               # reversed t-stream length
@@ -151,9 +161,9 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     # grow the gap boundary rays automatically.
     need_corner_seed = not (flags.local_start or flags.free_start_edges)
     if uniform is not None:
-        sub00 = uniform[1]
+        sub00 = uniform[1] + 2.0 * gd   # drifted pad-mismatch constant
     else:
-        sub00 = -1.0  # the poison value the general path assigns to pads
+        sub00 = -1.0 + 2.0 * gd
     if need_corner_seed:
         k00 = -dmin0   # lane of (0,0) for pair 0 (even: a=0, k even)
         k01 = -dmin1
@@ -177,26 +187,44 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             start_dma(1 - slot, c + 1)
 
         wait_dma(slot, c)
-        s_chunk = sbuf[slot]
-        t_chunk = tbuf[slot]
+        # streams are int8 in HBM/VMEM (4x less DMA + prep traffic); cast
+        # the whole chunk once — int8 sub-tile value slicing trips a
+        # Mosaic relayout bug, i32 slices are fine.
+        #
+        # Window access: an unaligned [BT, W] slice of a [BT, W+R] value
+        # costs ~5 vector ops in Mosaic (measured: the two per-step
+        # slices were >half the kernel's runtime).  Instead carry the
+        # whole chunk as a register value and ROLL it one lane per step;
+        # the window is then the vreg-aligned [:, :W] view (free).  The
+        # s window slides forward (roll left), the t window backward
+        # (roll right, pre-rolled to its chunk-end start); wrapped lanes
+        # never enter the [:, :W] view within a chunk.
+        s_chunk = sbuf[slot].astype(jnp.int32)
+        t_chunk = pltpu.roll(tbuf[slot].astype(jnp.int32), W + 1, 1)
         a0 = c * R
+        ga0 = (c * (R * gd)).astype(jnp.float32) if gd else jnp.float32(0)
 
         for r in range(R):
             a = a0 + r                      # traced (c) + static (r)
-            s_win = s_chunk[:, r:r + W]
-            t_win = t_chunk[:, (R - 1 - r):(R - 1 - r) + W]
-            sub = sub_score(s_win, t_win)
+            if strip >= 1:   # perf diagnostics: no window slices / sub
+                sub = jnp.float32(-1.0 + 2.0 * gd)
+            else:
+                sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
+                if r + 1 < R:
+                    s_chunk = pltpu.roll(s_chunk, W + R - 1, 1)
+                    t_chunk = pltpu.roll(t_chunk, 1, 1)
 
+            ga = ga0 + jnp.float32(gd * r)   # scalar drift at step a
             HpGo = H1 + go
             E = jnp.where(
                 mask_up, pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1), NEG
-            ) + ge
+            )
             F = jnp.where(
                 mask_lo, pltpu.roll(jnp.maximum(HpGo, F), 1, 1), NEG
-            ) + ge
+            )
             H_new = jnp.maximum(jnp.maximum(H2 + sub, E), F)
             if flags.local_start:
-                H_new = jnp.maximum(H_new, 0.0)
+                H_new = jnp.maximum(H_new, ga)
             if flags.free_start_edges:
                 # boundary rays i == 0 (k = -dmin' - a) and j == 0
                 # (k = a - dmin') are free starts: H = max(H, 0) there.
@@ -204,7 +232,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                     (karange == (-dmin0 - a)) | (karange == (a - dmin0))
                     | (karange == (-dmin1 - a)) | (karange == (a - dmin1))
                 )
-                H_new = jnp.maximum(H_new, jnp.where(ray, 0.0, NEG))
+                H_new = jnp.maximum(H_new, jnp.where(ray, ga, NEG))
             H_new = H_new + (
                 lane_okf_aeven if r % 2 == 0 else lane_okf_aodd
             )
@@ -232,10 +260,14 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                     | ((a == sltl1) & (karange == kc1))
                 )
                 tracked = jnp.where(cond, H_new, NEG)
-            if r % 2 == 0:
-                Ma = jnp.maximum(Ma, tracked)
+            # accumulators drift +2*gd per own update so maxima
+            # across steps compare drift-consistently
+            if strip >= 2:
+                pass
+            elif r % 2 == 0:
+                Ma = jnp.maximum(Ma + (2.0 * gd), tracked)
             else:
-                Mb = jnp.maximum(Mb, tracked)
+                Mb = jnp.maximum(Mb + (2.0 * gd), tracked)
 
             H2 = H1
             H1 = H_new
@@ -245,6 +277,10 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     init = (H2_0, neg, neg, neg, neg, neg)
     _, _, _, _, Ma, Mb = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
+    # undo the drift: after its last update at step a, an accumulator
+    # holds gd*a + max H; Ma's last update was a = Apad - 2, Mb's Apad - 1
+    Ma = Ma - jnp.float32(gd * (Apad - 2))
+    Mb = Mb - jnp.float32(gd * (Apad - 1))
     # pair p's slots have (a + k) ≡ p: even-step accumulator Ma holds
     # pair 0 on even lanes / pair 1 on odd lanes; Mb the reverse.
     p0 = jnp.maximum(jnp.where(even_k, Ma, NEG), jnp.where(even_k, NEG, Mb))
@@ -282,7 +318,8 @@ def _shift_stream(codes, shifts, valid_len, out_len, pad):
 def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         subst, go: float, ge: float, flags: ModeFlags,
                         w_eff=None, A: int = 4, block_b: int = 256,
-                        interpret: bool = False, r_chunk: int = _R):
+                        interpret: bool = False, r_chunk: int = _R,
+                        _strip: int = 0):
     """Antidiagonal dual-pair banded DP (score mode).
 
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp` minus
@@ -310,19 +347,20 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         s_codes, t_codes, s_lens, t_lens, dmin,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
-        uniform=uniform, r_chunk=int(r_chunk),
+        uniform=uniform, r_chunk=int(r_chunk), strip=int(_strip),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
-                     "uniform", "r_chunk"),
+                     "uniform", "r_chunk", "strip"),
 )
 def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              w_eff, *, W: int, go: float, ge: float,
                              flags: ModeFlags, A: int, block_b: int,
-                             interpret: bool, uniform, r_chunk: int = _R):
+                             interpret: bool, uniform, r_chunk: int = _R,
+                             strip: int = 0):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     if w_eff is None:
@@ -369,8 +407,10 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     # so its per-pair shift carries an extra -W/2 half-slots
     t_shift = jnp.where(pair_id == 0, -(dminq // 2) - 1,
                         (1 - dminq) // 2 - 1) - (W // 2)
-    s_half = _shift_stream(s_codes, s_shift, s_lens_p, Mlen, PAD_S)
-    t_half = _shift_stream(t_codes, t_shift, t_lens_p, Mlen, PAD_T)
+    s_half = _shift_stream(s_codes.astype(jnp.int8), s_shift, s_lens_p,
+                           Mlen, PAD_S)
+    t_half = _shift_stream(t_codes.astype(jnp.int8), t_shift, t_lens_p,
+                           Mlen, PAD_T)
     # interleave pairs (2i, 2i+1) element-wise: [B2p, Mlen, 2] -> flat
     si = jnp.stack(
         [s_half[0::2], s_half[1::2]], axis=2
@@ -393,7 +433,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     grid = (Bp2 // BT,)
     kernel = functools.partial(
         _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
-        flags=flags, uniform=uniform, R=r_chunk,
+        flags=flags, uniform=uniform, R=r_chunk, strip=strip,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM
@@ -418,8 +458,8 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BT, W + r_chunk), jnp.int32),   # si buffer
-            pltpu.VMEM((2, BT, W + r_chunk), jnp.int32),   # tir buffer
+            pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # si buffer
+            pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # tir buffer
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(

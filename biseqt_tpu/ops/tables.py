@@ -186,6 +186,59 @@ def seed_join(codes0, len0, codes1, len1, wordlen: int,
     return {"i": i, "j": j, "valid": valid, "total": total}
 
 
+@partial(jax.jit, static_argnames=("wordlen", "alphabet_len", "capacity"))
+def seed_join_sorted(codes0, len0, codes1, len1, wordlen: int,
+                     alphabet_len: int = 4, capacity: int = 1 << 18):
+    """:func:`seed_join` + band-coordinate transform + (d_, a) lexsort,
+    all on device — the genome-scale SeedIndex build path (the host-side
+    ``np.lexsort`` round-trip cost ~minutes at Mbp scale with remote
+    compiles; here one jit produces the final sorted arrays).
+
+    Returns dict: ``d_`` (= i - j + len1, int32, sorted ascending, sentinel
+    tail = KEY_SENTINEL), ``a`` (= i + j, secondary sort key), ``total``.
+    """
+    out = seed_join(codes0, len0, codes1, len1, wordlen, alphabet_len,
+                    capacity=capacity)
+    valid = out["valid"]
+    d_ = jnp.where(valid, out["i"] - out["j"] + len1, KEY_SENTINEL)
+    a = jnp.where(valid, out["i"] + out["j"], 0)
+    d_, a = jax.lax.sort((d_, a), num_keys=2)
+    return {"d_": d_, "a": a, "total": out["total"]}
+
+
+@partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
+def nway_shared_seeds(codes, lengths, wordlen: int, alphabet_len: int = 4):
+    """First-hit N-way seeds: for every k-mer present in ALL N sequences,
+    the tuple of its first occurrence position in each sequence.
+
+    The device tier of ``biseqt/seeds.py — SeedIndexMultiple``: one
+    global radix sort of the (key, seq, pos) table over all N sequences,
+    run boundaries, and a scatter-min of positions into a [runs, N]
+    matrix — no Python dict/cross-product loops.  Memory is O(N^2 L)
+    int32 (the [N*L, N] position matrix), fine for N ~ 10 x 100 kbp.
+
+    Returns ``(pos_mat int32 [N*L, N], shared bool [N*L])``: row r of
+    ``pos_mat`` holds run r's first position per sequence (dense run
+    index; unused tail rows stay BIG); ``shared[r]`` marks real (non-
+    sentinel) runs whose k-mer occurs in all N sequences.  Host callers
+    compact ``pos_mat[shared]``.
+    """
+    N, L = codes.shape
+    keys, seqs, poss, _ = build_kmer_table(
+        codes, lengths, wordlen, alphabet_len
+    )
+    M = keys.shape[0]
+    _, run_id = run_boundaries(keys)
+    BIG = jnp.int32(2 ** 30)
+    pos_mat = jnp.full((M, N), BIG, jnp.int32)
+    pos_mat = pos_mat.at[run_id, seqs].min(
+        jnp.where(keys != KEY_SENTINEL, poss, BIG)
+    )
+    present_all = jnp.all(pos_mat < BIG, axis=1)
+    real_run = jnp.zeros((M,), bool).at[run_id].max(keys != KEY_SENTINEL)
+    return pos_mat, present_all & real_run
+
+
 def run_boundaries(sorted_keys):
     """Start flags + run ids over a sorted key array (segmented-reduce prep).
 

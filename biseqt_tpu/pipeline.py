@@ -43,7 +43,7 @@ def _bucket(n, mini=128):
 def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
                     subst=None, go_score=-3.0, ge_score=-1.0,
                     use_pallas: bool = None, pad_radius: int = 16,
-                    pad_a: int = 512):
+                    pad_a: int = 512, with_transcripts: bool = False):
     """Batched banded extension of Word-Blot candidate segments.
 
     Each segment's (d, a) rectangle maps to subsequences
@@ -51,6 +51,12 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     cutouts); all segments align in ONE batched banded-DP launch (local
     mode: the alignment starts/ends wherever the homology does).  Returns
     the segments with the banded-DP ``score`` attached.
+
+    With ``with_transcripts=True`` the launch also emits direction bytes
+    (the Pallas kernel streams them to HBM chunk-by-chunk) and every
+    segment gains ``transcript`` (MSID string) + ``origin_start`` /
+    ``mutate_start`` (coordinates in the FULL S/T) — walked by the native
+    C++ batched tracer in one call, no per-pair Python loop.
     """
     if not segments:
         return []
@@ -108,15 +114,39 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     flags = ModeFlags(local_start=True, local_end=True)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    fn = banded_dp_pallas if use_pallas else banded_dp
-    res = fn(
-        jnp.asarray(s_codes), jnp.asarray(t_codes),
-        jnp.asarray(s_lens), jnp.asarray(t_lens),
-        jnp.asarray(dmin), W=W, subst=np.asarray(subst, np.float32),
-        go=float(go_score), ge=float(ge_score), flags=flags,
-        w_eff=jnp.asarray(w_eff),
-    )
-    scores = np.asarray(res.score)
+    if use_pallas and not with_transcripts:
+        # score-only: the antidiagonal dual-pair kernel (the throughput
+        # path).  It needs w_eff <= W - 1 (one lane of parity slack);
+        # extension bands are padded discovery rectangles, so dropping
+        # one diagonal from a full-width band is immaterial.
+        from .ops.pallas_dp_ad import banded_dp_pallas_ad
+
+        fn = banded_dp_pallas_ad
+        w_eff = np.minimum(w_eff, W - 1)
+        extra = {}
+    else:
+        fn = banded_dp_pallas if use_pallas else banded_dp
+        extra = {"with_dirs": with_transcripts}
+    from .profiling import Phase
+
+    total_cells = int(np.sum(w_eff.astype(np.int64) * s_lens))
+    with Phase("pipeline.extend", cells=total_cells):
+        res = fn(
+            jnp.asarray(s_codes), jnp.asarray(t_codes),
+            jnp.asarray(s_lens), jnp.asarray(t_lens),
+            jnp.asarray(dmin), W=W, subst=np.asarray(subst, np.float32),
+            go=float(go_score), ge=float(ge_score), flags=flags,
+            w_eff=jnp.asarray(w_eff), **extra,
+        )
+        scores = np.asarray(res.score)
+    if with_transcripts:
+        from . import native
+
+        ops, si, sj = native.traceback_batch(
+            np.asarray(res.dirs), dmin + (W - 1), s_codes, t_codes,
+            s_lens, t_lens, np.asarray(res.end_i), np.asarray(res.end_j),
+            flags,
+        )
     out = []
     for b, seg in enumerate(segments):
         seg = dict(seg)
@@ -124,6 +154,10 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         seg["band_cells"] = int(
             (cut[b][5] - cut[b][4] + 1) * (cut[b][1] - cut[b][0])
         )
+        if with_transcripts:
+            seg["transcript"] = ops[b]
+            seg["origin_start"] = int(cut[b][0] + si[b])
+            seg["mutate_start"] = int(cut[b][2] + sj[b])
         out.append(seg)
     return out
 

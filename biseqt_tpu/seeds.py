@@ -23,7 +23,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .sequence import Sequence
+from .sequence import Sequence, pack_sequences
 from .ops import tables
 
 __all__ = ["Seed", "SeedIndex", "SeedIndexMultiple"]
@@ -80,35 +80,40 @@ class SeedIndex:
     def _build(self, capacity_hint: Optional[int]):
         ls, lt = len(self.S), len(self.T)
         A = len(self.alphabet)
-        s = jnp.asarray(self.S.to_array()[None, :])
-        t = jnp.asarray(self.T.to_array()[None, :])
+        # bucket the padded code shapes so repeated builds over different
+        # sequences share compiled programs (remote TPU compiles dominate
+        # cold genome-scale builds otherwise); true lengths ride alongside
+        lsp, ltp = _shape_bucket(ls), _shape_bucket(lt)
+        s_arr = np.full(lsp, -1, np.int8)
+        s_arr[:ls] = self.S.to_array(np.int8)
+        t_arr = np.full(ltp, -1, np.int8)
+        t_arr[:lt] = self.T.to_array(np.int8)
+        s = jnp.asarray(s_arr)
+        t = jnp.asarray(t_arr)
         # exact count first (cheap pass) so the expansion compiles for the
         # right capacity bucket immediately — no doubling recompiles
         if capacity_hint is None:
             total_exact = int(tables.seed_total(
-                s[0], jnp.int32(ls), t[0], jnp.int32(lt), self.wordlen, A
+                s, jnp.int32(ls), t, jnp.int32(lt), self.wordlen, A
             ))
             cap = max(1 << 12, _next_pow2(total_exact + 1))
         else:
             cap = capacity_hint
         while True:
-            out = tables.seed_join(
-                s[0], jnp.int32(ls), t[0], jnp.int32(lt),
+            # join + (d_, a) transform + lexsort all on device; one D2H
+            out = tables.seed_join_sorted(
+                s, jnp.int32(ls), t, jnp.int32(lt),
                 self.wordlen, A, capacity=cap,
             )
             total = int(out["total"])
             if total <= cap:
                 break
             cap = _next_pow2(total)
-        i = np.asarray(out["i"][:total] if total else out["i"][:0])
-        j = np.asarray(out["j"][:total] if total else out["j"][:0])
-        valid = np.asarray(out["valid"][: max(total, 0)])
-        i, j = i[valid], j[valid]
-        d_ = (i - j + lt).astype(np.int64)
-        a = (i + j).astype(np.int64)
-        order = np.lexsort((a, d_))
-        self._d_ = d_[order]
-        self._a = a[order]
+        self._d_dev = out["d_"]          # device copies (sentinel tail),
+        self._a_dev = out["a"]           # for downstream batched device ops
+        self._n_dev = total
+        self._d_ = np.asarray(out["d_"][:total]).astype(np.int64)
+        self._a = np.asarray(out["a"][:total]).astype(np.int64)
         # composite key for O(log n) 2-D band queries
         self._acap = ls + lt + 1
         self._comp = self._d_ * self._acap + self._a
@@ -217,18 +222,46 @@ class SeedIndexMultiple:
     """
 
     def __init__(self, *seqs: Sequence, wordlen: int = 8,
-                 max_hits_per_kmer: int = 8):
+                 max_hits_per_kmer: int = 8, device: bool = None):
         assert len(seqs) >= 2
         self.seqs = seqs
         self.wordlen = int(wordlen)
         self.alphabet = seqs[0].alphabet
+        if device is None:
+            # the device tier emits first-hit seeds (one position tuple
+            # per shared k-mer); auto-select it when cross products are
+            # not requested OR the host dict tier would be slow (at
+            # N=10 x 100 kbp the host tier is minutes, the device tier
+            # one radix sort)
+            device = (max_hits_per_kmer == 1
+                      or sum(len(s) for s in seqs) > 200_000)
+        if device:
+            self._build_device()
+        else:
+            self._build_host(max_hits_per_kmer)
+
+    def _build_device(self):
+        """One global radix sort + scatter-min: first-hit N-way seeds."""
+        from .ops.tables import nway_shared_seeds
+
+        codes, lengths = pack_sequences(list(self.seqs))
+        pos_mat, shared = nway_shared_seeds(
+            jnp.asarray(codes), jnp.asarray(lengths),
+            self.wordlen, len(self.alphabet),
+        )
+        rows = np.asarray(pos_mat)[np.asarray(shared)]
+        self._seeds = sorted(tuple(int(x) for x in r) for r in rows)
+
+    def _build_host(self, max_hits_per_kmer: int):
+        """Dict/cross-product tier: all position combinations per shared
+        k-mer, capped at ``max_hits_per_kmer`` per sequence.  Host-side —
+        fine to ~N x 10 kbp; use the device tier beyond."""
         from .kmers import as_kmer_seq
 
-        # per-sequence dict: kmer -> positions (host tier; N is small)
         maps = []
-        for s in seqs:
+        for s in self.seqs:
             m = {}
-            for pos, km in enumerate(as_kmer_seq(s, wordlen)):
+            for pos, km in enumerate(as_kmer_seq(s, self.wordlen)):
                 m.setdefault(km, []).append(pos)
             maps.append(m)
         shared = set(maps[0])
@@ -237,8 +270,6 @@ class SeedIndexMultiple:
         seeds = []
         for km in shared:
             lists = [m[km][:max_hits_per_kmer] for m in maps]
-            # cross product of positions
-            idx = [0] * len(lists)
             combos = [[]]
             for lst in lists:
                 combos = [c + [p] for c in combos for p in lst]
@@ -258,3 +289,12 @@ class SeedIndexMultiple:
 def _next_pow2(n: int) -> int:
     n = max(int(n), 1)
     return 1 << (n - 1).bit_length()
+
+
+def _shape_bucket(n: int, mini: int = 256) -> int:
+    """Round a sequence length up to a shape bucket (<= ~12.5% waste)."""
+    n = max(int(n), 1)
+    if n <= mini:
+        return mini
+    step = max(mini, 1 << (max(n.bit_length(), 4) - 4))
+    return ((n + step - 1) // step) * step

@@ -97,7 +97,10 @@ def main():
         "t_discover": round(t_discover, 2),
         "t_extend": round(t_extend, 2),
         "extended_cells": cells,
+        "extend_gcups": round(cells / max(t_extend, 1e-9) / 1e9, 2),
     }))
+    from biseqt_tpu.profiling import report
+    print(report())
 
 
 if __name__ == "__main__":

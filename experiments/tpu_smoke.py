@@ -1,0 +1,130 @@
+"""Serialized real-chip smoke test: one command, JSON summary.
+
+Re-verifies on actual TPU hardware (everything else in tests/ runs
+CPU-forced) that:
+  1. the Pallas row kernel matches the lax engine (scores, small shapes);
+  2. direction bytes from the kernel walk to the same transcripts;
+  3. the antidiagonal dual-pair kernel matches both;
+  4. the sorted all-vs-all engine finds planted overlaps;
+  5. bench-scale throughput is sane (quick, 1 iteration).
+
+Run via ``make tpu-smoke``.  Keep SERIAL: concurrent processes through
+the TPU tunnel have crashed the worker (CLAUDE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags
+    from biseqt_tpu.ops.pallas_dp import banded_dp_pallas
+    from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
+    from biseqt_tpu.ops.banded_dp import traceback_path
+
+    t_start = time.time()
+    out = {"backend": jax.default_backend(), "checks": {}}
+    ok_all = True
+
+    def check(name, cond, detail=""):
+        nonlocal ok_all
+        out["checks"][name] = {"ok": bool(cond), "detail": str(detail)}
+        ok_all &= bool(cond)
+
+    rng = np.random.default_rng(0xC0FFEE)
+    B, L, W = 8, 384, 128
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    ss = rng.integers(0, 4, (B, L), dtype=np.int8)
+    ts = ss.copy()
+    mask = rng.random((B, L)) < 0.15
+    ts[mask] = (ts[mask] + 1 + rng.integers(0, 3, mask.sum())) % 4
+    lens = jnp.asarray(np.full((B,), 350, np.int32))
+    dmin = jnp.asarray(np.full((B,), -64, np.int32))
+    w_eff = jnp.asarray(np.full((B,), 100, np.int32))
+    args = (jnp.asarray(ss), jnp.asarray(ts), lens, lens, dmin)
+
+    for name, fl in (("local", ModeFlags(local_start=True, local_end=True)),
+                     ("global", ModeFlags()),
+                     ("overlap", ModeFlags(free_start_edges=True,
+                                           free_end_edges=True))):
+        kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=fl, w_eff=w_eff)
+        ref = np.asarray(banded_dp(*args, **kw).score)
+        row = np.asarray(banded_dp_pallas(*args, block_b=8, **kw).score)
+        ad = np.asarray(banded_dp_pallas_ad(*args, block_b=8, **kw).score)
+        check(f"row_kernel_vs_lax_{name}", np.allclose(ref, row, atol=1e-2),
+              f"max|d|={np.abs(ref-row).max():.2g}")
+        check(f"ad_kernel_vs_lax_{name}", np.allclose(ref, ad, atol=1e-2),
+              f"max|d|={np.abs(ref-ad).max():.2g}")
+
+    # dirs parity: kernel bytes walk to the lax engine's transcripts
+    fl = ModeFlags(local_start=True, local_end=True)
+    kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=fl, w_eff=w_eff)
+    ref = banded_dp(*args, with_dirs=True, **kw)
+    got = banded_dp_pallas(*args, block_b=8, with_dirs=True, **kw)
+    dirs_ok = True
+    for b in range(B):
+        tx_l, i_l, j_l = traceback_path(
+            np.asarray(ref.dirs[b]), ss[b], ts[b],
+            int(ref.end_i[b]), int(ref.end_j[b]),
+            banded=True, dmax=int(dmin[b]) + W - 1, flags=fl)
+        tx_p, i_p, j_p = traceback_path(
+            np.asarray(got.dirs[b]), ss[b], ts[b],
+            int(got.end_i[b]), int(got.end_j[b]),
+            banded=True, dmax=int(dmin[b]) + W - 1, flags=fl)
+        dirs_ok &= (tx_l, i_l, j_l) == (tx_p, i_p, j_p)
+    check("dirs_traceback_parity", dirs_ok)
+
+    # sorted all-vs-all on planted overlapping reads
+    from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
+    glen, rlen, n_reads = 2000, 600, 8
+    genome = rng.integers(0, 4, glen, dtype=np.int8)
+    reads = np.zeros((n_reads, 768), np.int8)
+    step = (glen - rlen) // (n_reads - 1)
+    for k in range(n_reads):
+        r = genome[k * step:k * step + rlen].copy()
+        m = rng.random(rlen) < 0.1
+        r[m] = (r[m] + 1) % 4
+        reads[k, :rlen] = r
+    st = overlap_stats_sorted(
+        jnp.asarray(reads), jnp.asarray(np.full((n_reads,), rlen, np.int32)),
+        wordlen=8, n_reads=n_reads, bucket=32)
+    s0 = np.asarray(st["s0"])
+    check("sorted_allvsall_overlaps",
+          all(s0[q, q + 1] > 25 for q in range(n_reads - 1))
+          and s0[0, n_reads - 1] < 25)
+
+    # quick throughput sanity (1 iteration, fresh inputs)
+    Bb, Lb, BW = 2048, 10240, 100
+    rr = np.random.default_rng(int(time.time()))
+    bargs = [jnp.asarray(x) for x in (
+        rr.integers(0, 4, (Bb, Lb), dtype=np.int8),
+        rr.integers(0, 4, (Bb, Lb), dtype=np.int8),
+        np.full((Bb,), 10000, np.int32), np.full((Bb,), 10000, np.int32),
+        np.full((Bb,), -(BW // 2), np.int32))]
+    kwb = dict(W=128, subst=subst, go=-2.0, ge=-1.0,
+               flags=ModeFlags(local_start=True, local_end=True),
+               w_eff=jnp.full((Bb,), BW, jnp.int32), block_b=256)
+    _ = np.asarray(banded_dp_pallas_ad(*bargs, **kwb).score)  # compile
+    bargs2 = [jnp.asarray(np.asarray(a)) for a in bargs]
+    t0 = time.time()
+    _ = np.asarray(banded_dp_pallas_ad(*bargs2, **kwb).score)
+    gcups = Bb * 10000 * BW / (time.time() - t0) / 1e9
+    check("ad_kernel_throughput", gcups > 10, f"{gcups:.1f} GCUPS")
+    out["gcups_quick"] = round(gcups, 1)
+
+    out["ok"] = ok_all
+    out["elapsed_s"] = round(time.time() - t_start, 1)
+    print(json.dumps(out))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,3 +56,39 @@ def test_extend_segments_multiple_candidates(rng):
     )
     assert len(out) >= 2
     assert out[0]["score"] > 150 and out[1]["score"] > 150
+
+
+def test_extend_segments_with_transcripts(rng):
+    """Batched extension returns MSID transcripts that rescore to exactly
+    the DP score, walked by the native batched tracer (no per-pair
+    Python loop over rows)."""
+    from biseqt_tpu.pw import Alignment
+
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.03, ge_prob=0.1,
+                        rng=rng)
+    cores = [rand_seq(A4, 300, rng=rng) for _ in range(3)]
+    muts = [M.mutate(c)[0] for c in cores]
+    sp = lambda n: rand_seq(A4, n, rng=rng)
+    # unequal spacers put each core on a well-separated diagonal so the
+    # three homologies stay three segments
+    S = sp(200) + cores[0] + sp(200) + cores[1] + sp(200) + cores[2]
+    T = sp(100) + muts[0] + sp(500) + muts[1] + sp(900) + muts[2]
+    wb = WordBlot(S, T, wordlen=8, g_max=0.2)
+    segments = list(wb.similar_segments(K_min=120, p_min=0.6))
+    assert len(segments) >= 3
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    out = extend_segments(
+        S, T, segments, subst=subst, go_score=-3.0, ge_score=-1.0,
+        use_pallas=False, with_transcripts=True,
+    )
+    for seg in out:
+        assert set(seg["transcript"]) <= set("MSID")
+        aln = Alignment(
+            S, T, seg["transcript"],
+            origin_start=seg["origin_start"],
+            mutate_start=seg["mutate_start"],
+        )
+        rescored = aln.calculate_score(subst, -3.0, -1.0)
+        assert rescored == pytest.approx(seg["score"], abs=1e-3), seg
+        # transcripts cover most of a planted core
+        assert len(seg["transcript"]) > 200

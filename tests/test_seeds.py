@@ -94,3 +94,21 @@ def test_seed_namedtuple():
     s = Seed(3, 5)
     assert s.i == 3 and s.j == 5
     assert s == (3, 5)
+
+
+def test_seed_index_multiple_device_tier_matches_host(rng):
+    """Device N-way seeds (first hit per sequence) == host dict tier with
+    max_hits_per_kmer=1 (first-hit cross product is the same set)."""
+    from biseqt_tpu.seeds import SeedIndexMultiple
+    from biseqt_tpu.stochastics import MutationProcess
+
+    M = MutationProcess(A4, subst_probs=0.05, go_prob=0.02, ge_prob=0.05,
+                        rng=rng)
+    core = rand_seq(A4, 400, rng=rng)
+    seqs = [rand_seq(A4, 100, rng=rng) + M.mutate(core)[0]
+            + rand_seq(A4, 150, rng=rng) for _ in range(4)]
+    dev = SeedIndexMultiple(*seqs, wordlen=8, device=True)
+    host = SeedIndexMultiple(*seqs, wordlen=8, max_hits_per_kmer=1,
+                             device=False)
+    assert dev.seeds() == host.seeds()
+    assert len(dev) > 30  # the planted core yields many shared k-mers
