@@ -1,6 +1,6 @@
 # Top-level targets (analog of the reference's Makefile glue).
 
-.PHONY: all native test lint bench tpu-smoke clean
+.PHONY: all native test lint bench tpu-smoke docs clean
 
 all: native
 
@@ -25,6 +25,13 @@ bench:
 # the main suite runs CPU-forced)
 tpu-smoke: native
 	python experiments/tpu_smoke.py
+
+# API reference: sphinx if installed (the reference's doc stack),
+# otherwise the stdlib docstring->markdown generator
+docs:
+	@python -c "import sphinx" 2>/dev/null \
+	  && sphinx-build -b html docs docs/_build \
+	  || python docs/gen_api.py
 
 clean:
 	$(MAKE) -C biseqt_tpu/native clean

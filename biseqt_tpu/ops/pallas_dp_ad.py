@@ -90,8 +90,12 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     lane_okf_aeven = jnp.where(even_k, okf0, okf1)
     lane_okf_aodd = jnp.where(even_k, okf1, okf0)
 
-    mask_up = karange < (W - 1)    # E shift: lane k <- k + 1, wrap at W-1
-    mask_lo = karange >= 1        # F shift: lane k <- k - 1, wrap at 0
+    # E/F lane shifts are circular rolls with NO wrap masks: the live
+    # range of each pair is at most W-1 lanes wide (the wrapper clamps
+    # w_eff <= W-1), so the wrap source lane (0 for E, W-1 for F) is
+    # always a dead lane of the wrapping pair, and dead lanes are
+    # poisoned to <= NEG*steps by the per-step additive lane masks —
+    # wrapped-in values lose every max.  Saves 2 vector ops/step.
 
     sltl0 = sl0 + tl0
     sltl1 = sl1 + tl1
@@ -216,12 +220,8 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
 
             ga = ga0 + jnp.float32(gd * r)   # scalar drift at step a
             HpGo = H1 + go
-            E = jnp.where(
-                mask_up, pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1), NEG
-            )
-            F = jnp.where(
-                mask_lo, pltpu.roll(jnp.maximum(HpGo, F), 1, 1), NEG
-            )
+            E = pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1)
+            F = pltpu.roll(jnp.maximum(HpGo, F), 1, 1)
             H_new = jnp.maximum(jnp.maximum(H2 + sub, E), F)
             if flags.local_start:
                 H_new = jnp.maximum(H_new, ga)
@@ -365,7 +365,9 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     LT = t_codes.shape[1]
     if w_eff is None:
         w_eff = jnp.full((B,), W - 1, jnp.int32)
-    w_eff = w_eff.astype(jnp.int32)
+    # <= W-1 is load-bearing: the kernel's E/F rolls have no wrap masks,
+    # which is only safe when each pair leaves at least one dead lane
+    w_eff = jnp.minimum(w_eff.astype(jnp.int32), W - 1)
     s_lens = s_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
     dmin = dmin.astype(jnp.int32)

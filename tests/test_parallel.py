@@ -245,3 +245,79 @@ def test_sorted_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(
         sharded["diag"], np.asarray(single["diag"])
     )
+
+
+def test_band_sharded_ad_matches_unsharded(rng):
+    """The antidiagonal band-sharded engine (halo exchange every C steps,
+    no per-row all_gather) matches the unsharded row engine across modes,
+    ragged lengths, mixed dmin, and small halo (many exchanges)."""
+    from biseqt_tpu.parallel.sharded_dp_ad import banded_dp_band_sharded_ad
+
+    B = 2
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 120, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S), ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=128)
+    t_codes, t_lens = pack_sequences(ts, pad_to=160)
+    W = 256
+    dmin = jnp.asarray([-128, -121], jnp.int32)   # mixed dmin parity
+    w_eff = jnp.asarray([W - 1, 200], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes),
+            jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+            W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags, w_eff=w_eff,
+        )
+        with mesh:
+            got = banded_dp_band_sharded_ad(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+                W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                mesh=mesh, w_eff=w_eff, halo=16,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
+
+
+def test_band_sharded_ad_edge_lanes_valid(rng):
+    """Band edges inside the valid cell region + an all-mismatch pair
+    (the halo-bug detector geometry): shard boundaries and mesh-edge
+    halos must not leak phantom predecessors."""
+    from biseqt_tpu.parallel.sharded_dp_ad import banded_dp_band_sharded_ad
+
+    B, L, W = 2, 96, 64
+    s_codes = np.zeros((B, L), np.int8)          # all 'A'
+    t_codes = np.full((B, L), 1, np.int8)        # all 'C' -> all-mismatch
+    t_codes[1, :48] = 0                          # second pair: half match
+    lens = jnp.asarray(np.full((B,), L, np.int32))
+    dmin = jnp.asarray([-32, -32], jnp.int32)
+    w_eff = jnp.asarray([W - 1, W - 1], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes), lens, lens, dmin,
+            W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags, w_eff=w_eff,
+        )
+        with mesh:
+            got = banded_dp_band_sharded_ad(
+                jnp.asarray(s_codes), jnp.asarray(t_codes), lens, lens,
+                dmin, W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                mesh=mesh, w_eff=w_eff, halo=8,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
