@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xB15EA7)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of distinct XLA:CPU programs in one
+    process; with all of them held live, a later compile segfaults
+    deterministically inside ``backend_compile_and_load`` (observed at
+    the ~78th test, test_pw.py, on this single-CPU box — partial runs of
+    any subset pass).  Clearing the cache between modules keeps the
+    accumulated JIT state bounded; cross-module cache reuse is ~nil
+    anyway (each module uses its own shapes)."""
+    yield
+    jax.clear_caches()
