@@ -14,7 +14,8 @@ import subprocess
 import numpy as np
 
 __all__ = [
-    "available", "align", "traceback", "traceback_batch", "fasta_pack",
+    "available", "align", "traceback", "traceback_batch",
+    "traceback_batch_ad", "fasta_pack",
     "dna_code_map",
     "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
     "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
@@ -60,6 +61,14 @@ def _load():
     ]
     lib.bst_traceback_batch.restype = ctypes.c_int
     lib.bst_traceback_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_traceback_ad_batch.restype = ctypes.c_int
+    lib.bst_traceback_ad_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -180,6 +189,50 @@ def traceback_batch(dirs, dmax, s_codes, t_codes, s_lens, t_lens,
         ops_len.ctypes.data,
     )
     assert rc == 0, "bst_traceback_batch failed"
+    ops = [
+        ops_buf[b, : max(ops_len[b], 0)].tobytes().decode("ascii")
+        for b in range(B)
+    ]
+    return ops, start_i, start_j
+
+
+def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
+                       end_i, end_j, mode_flags):
+    """Batched traceback over ANTIDIAGONAL-layout direction bytes.
+
+    ``dirs``: [B2, apad, W] uint8 from the dual-pair AD kernel
+    (:func:`biseqt_tpu.ops.pallas_dp_ad.banded_dp_pallas_ad` with
+    ``with_dirs=True``) — pairs (2*b2, 2*b2+1) share plane b2.
+    ``dminq``: per-pair PARITY-ADJUSTED band starts (int32 [B],
+    ``dmin + (pair % 2 - dmin) mod 2``).  Returns the same triple as
+    :func:`traceback_batch`.
+    """
+    lib = _load()
+    dirs = np.ascontiguousarray(dirs, np.uint8)
+    _, apad, W = dirs.shape
+    s_codes = np.ascontiguousarray(s_codes, np.int8)
+    t_codes = np.ascontiguousarray(t_codes, np.int8)
+    i32 = lambda x: np.ascontiguousarray(x, np.int32)
+    dminq, s_lens, t_lens, end_i, end_j = map(
+        i32, (dminq, s_lens, t_lens, end_i, end_j)
+    )
+    B = int(s_codes.shape[0])
+    ops_stride = int(s_codes.shape[1] + t_codes.shape[1] + 2)
+    ops_buf = np.zeros((B, ops_stride), np.uint8)
+    start_i = np.zeros((B,), np.int32)
+    start_j = np.zeros((B,), np.int32)
+    ops_len = np.zeros((B,), np.int32)
+    rc = lib.bst_traceback_ad_batch(
+        dirs.ctypes.data, apad, W, dminq.ctypes.data,
+        s_codes.ctypes.data, s_codes.shape[1],
+        t_codes.ctypes.data, t_codes.shape[1],
+        s_lens.ctypes.data, t_lens.ctypes.data,
+        end_i.ctypes.data, end_j.ctypes.data,
+        _flags_of(mode_flags), B, ops_stride,
+        ops_buf.ctypes.data, start_i.ctypes.data, start_j.ctypes.data,
+        ops_len.ctypes.data,
+    )
+    assert rc == 0, "bst_traceback_ad_batch failed"
     ops = [
         ops_buf[b, : max(ops_len[b], 0)].tobytes().decode("ascii")
         for b in range(B)

@@ -221,6 +221,90 @@ int bst_traceback_batch(const uint8_t* dirs, int rows_cap, int W,
     return 0;
 }
 
+// Traceback over ANTIDIAGONAL-layout direction bytes (the dual-pair
+// Pallas kernel's with_dirs output).  Byte of cell (i, j) lives at
+// dirs[(i + j) * W + ((i - j) - dminq)] where dminq is the pair's
+// parity-adjusted band start (dmin + (pair % 2 - dmin) mod 2); the two
+// pairs packed into one plane occupy complementary (a + x) parities, so
+// a walk never reads the other pair's slots.  Same byte semantics and
+// boundary handling as bst_traceback.
+int bst_traceback_ad(const uint8_t* dirs, int apad, int W, int dminq,
+                     const int8_t* s, int ls, const int8_t* t, int lt,
+                     int end_i, int end_j, int flags,
+                     char* ops, int* start_i, int* start_j) {
+    const bool anchored_start =
+        !(flags & (LOCAL_START | FREE_START_EDGES));
+    int i = end_i, j = end_j;
+    int n = 0;
+    int state = 0;  // 0 = H, 1 = E, 2 = F
+    auto byte_at = [&](int ii, int jj, uint8_t* out) -> bool {
+        int a = ii + jj, x = (ii - jj) - dminq;
+        if (a < 0 || a >= apad || x < 0 || x >= W) return false;
+        *out = dirs[(size_t)a * W + x];
+        return true;
+    };
+    uint8_t b;
+    for (;;) {
+        if (state == 0) {
+            if (i == 0 || j == 0) break;
+            if (!byte_at(i, j, &b)) return -1;
+            int src = b & 3;
+            if (src == 0) break;
+            if (src == 1) {
+                ops[n++] = (s[i - 1] == t[j - 1]) ? 'M' : 'S';
+                --i; --j;
+            } else if (src == 2) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            if (i < 1 || !byte_at(i, j, &b)) return -1;
+            ops[n++] = 'I';
+            --j;
+            if (!((b >> 2) & 1) || j == 0) state = 0;
+        } else {
+            if (i < 1 || !byte_at(i, j, &b)) return -1;
+            ops[n++] = 'D';
+            --i;
+            if (!((b >> 3) & 1) || i == 0) state = 0;
+        }
+    }
+    if (anchored_start) {
+        while (j > 0) { ops[n++] = 'I'; --j; }
+        while (i > 0) { ops[n++] = 'D'; --i; }
+    }
+    std::reverse(ops, ops + n);
+    ops[n] = '\0';
+    if (start_i) *start_i = i;
+    if (start_j) *start_j = j;
+    return n;
+}
+
+// Batched AD-layout traceback: pairs (2*b2, 2*b2 + 1) share byte plane
+// b2 of dirs [B2, apad, W]; dminq / lengths / ends are per PAIR (B of
+// them).  Same outputs as bst_traceback_batch.
+int bst_traceback_ad_batch(const uint8_t* dirs, int apad, int W,
+                           const int32_t* dminq,
+                           const int8_t* s, int ls_cap,
+                           const int8_t* t, int lt_cap,
+                           const int32_t* s_lens, const int32_t* t_lens,
+                           const int32_t* end_i, const int32_t* end_j,
+                           int flags, int B, int ops_stride,
+                           char* ops_out, int32_t* start_i,
+                           int32_t* start_j, int32_t* ops_len) {
+    for (int b = 0; b < B; ++b) {
+        int si = 0, sj = 0;
+        int n = bst_traceback_ad(
+            dirs + (size_t)(b / 2) * apad * W, apad, W, dminq[b],
+            s + (size_t)b * ls_cap, s_lens[b],
+            t + (size_t)b * lt_cap, t_lens[b],
+            end_i[b], end_j[b], flags,
+            ops_out + (size_t)b * ops_stride, &si, &sj);
+        start_i[b] = si;
+        start_j[b] = sj;
+        ops_len[b] = n;
+    }
+    return 0;
+}
+
 // ---------------------------------------------------------------------
 // FASTA streaming packer
 // ---------------------------------------------------------------------

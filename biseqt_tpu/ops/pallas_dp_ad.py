@@ -62,9 +62,15 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             sl0_ref, sl1_ref, tl0_ref, tl1_ref, subst_ref,
             si_hbm, tir_hbm,
-            score0_ref, score1_ref, sbuf, tbuf, sems,
-            *, W: int, Apad: int, BT: int, A: int, go: float, ge: float,
-            flags: ModeFlags, uniform, R: int, strip: int = 0):
+            *rest,
+            W: int, Apad: int, BT: int, A: int, go: float, ge: float,
+            flags: ModeFlags, uniform, R: int, strip: int = 0,
+            with_dirs: bool = False):
+    if with_dirs:
+        (score0_ref, score1_ref, dirs_hbm, ma_ref, mb_ref, aa_ref, ab_ref,
+         sbuf, tbuf, dbuf, sems) = rest
+    else:
+        score0_ref, score1_ref, sbuf, tbuf, sems = rest
     b = pl.program_id(0)
     row0 = b * BT
     karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -155,6 +161,14 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             tbuf.at[slot], sems.at[slot, 1],
         ).wait()
 
+    if with_dirs:
+        def dirs_dma(slot, c):
+            return pltpu.make_async_copy(
+                dbuf.at[slot],
+                dirs_hbm.at[pl.ds(row0, BT), pl.ds(c * R, R), :],
+                sems.at[slot, 2],
+            )
+
     start_dma(0, 0)
 
     # carries at loop entry represent state at a = -1 (H1, E, F) and
@@ -183,12 +197,22 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     track_corner = not (track_local or track_rays)
 
     def chunk_body(c, carry):
-        H2, H1, E, F, Ma, Mb = carry
+        if with_dirs:
+            H2, H1, E, F, Ma, Mb, Aa, Ab = carry
+        else:
+            H2, H1, E, F, Ma, Mb = carry
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
         def _():
             start_dma(1 - slot, c + 1)
+
+        if with_dirs:
+            # the slot's previous dirs write-out must have landed before
+            # this chunk overwrites dbuf[slot]
+            @pl.when(c >= 2)
+            def _():
+                dirs_dma(slot, c - 2).wait()
 
         wait_dma(slot, c)
         # streams are int8 in HBM/VMEM (4x less DMA + prep traffic); cast
@@ -220,9 +244,20 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
 
             ga = ga0 + jnp.float32(gd * r)   # scalar drift at step a
             HpGo = H1 + go
+            if with_dirs:
+                # gap-extension flags BEFORE the chain update (dest cell
+                # (i,j) reads its source's choice), rolled with the same
+                # lane shift as the chain itself; pre-weighted 4.0/8.0 so
+                # the byte pack below is two adds.  Ties prefer extension
+                # (matches the lax engine's P == shift(P) convention).
+                e4 = pltpu.roll(
+                    jnp.where(E >= HpGo, 4.0, 0.0), W - 1, 1
+                )
+                f8 = pltpu.roll(jnp.where(F >= HpGo, 8.0, 0.0), 1, 1)
             E = pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1)
             F = pltpu.roll(jnp.maximum(HpGo, F), 1, 1)
-            H_new = jnp.maximum(jnp.maximum(H2 + sub, E), F)
+            diag_cand = H2 + sub
+            H_new = jnp.maximum(jnp.maximum(diag_cand, E), F)
             if flags.local_start:
                 H_new = jnp.maximum(H_new, ga)
             if flags.free_start_edges:
@@ -233,6 +268,32 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                     | (karange == (-dmin1 - a)) | (karange == (a - dmin1))
                 )
                 H_new = jnp.maximum(H_new, jnp.where(ray, ga, NEG))
+            if with_dirs:
+                # direction byte (same bit semantics as the row kernel /
+                # lax engine: bits 0-1 H-source 0=stop/1=diag/2=E/3=F,
+                # bit 2 E-extend, bit 3 F-extend), in the ANTIDIAGONAL
+                # layout dirs[b2, a, x]: cell (i, j) of pair p sits at
+                # a = i+j, x = (i-j) - dmin'_p.  Every (a, x) slot
+                # belongs to exactly ONE pair (all walk moves preserve
+                # (a + x) mod 2), so the two packed pairs share the byte
+                # plane without masking; out-of-band slots hold garbage
+                # the walker never reads.  Comparisons use the pre-mask
+                # H_new (the additive lane mask below would break the
+                # equality tests).
+                d = jnp.where(
+                    H_new == diag_cand, 1.0,
+                    jnp.where(H_new == E, 2.0, 3.0),
+                )
+                if flags.local_start:
+                    # fresh local start: value == the drifted zero and
+                    # the diag source lost (mirrors the lax override)
+                    d = jnp.where(
+                        (H_new == ga) & (diag_cand < ga), 0.0, d
+                    )
+                byte = d + e4 + f8
+                dbuf[slot, :, r, :] = byte.astype(jnp.int32).astype(
+                    jnp.uint8
+                )
             H_new = H_new + (
                 lane_okf_aeven if r % 2 == 0 else lane_okf_aodd
             )
@@ -265,22 +326,50 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             if strip >= 2:
                 pass
             elif r % 2 == 0:
-                Ma = jnp.maximum(Ma + (2.0 * gd), tracked)
+                Ms = Ma + (2.0 * gd)
+                if with_dirs:
+                    # per-lane step-of-max: a strict win records step a
+                    # (end-cell recovery: lane argmax post-loop + this)
+                    Aa = jnp.where(tracked > Ms, a, Aa)
+                Ma = jnp.maximum(Ms, tracked)
             else:
-                Mb = jnp.maximum(Mb + (2.0 * gd), tracked)
+                Ms = Mb + (2.0 * gd)
+                if with_dirs:
+                    Ab = jnp.where(tracked > Ms, a, Ab)
+                Mb = jnp.maximum(Ms, tracked)
 
             H2 = H1
             H1 = H_new
+        if with_dirs:
+            dirs_dma(slot, c).start()
+            return (H2, H1, E, F, Ma, Mb, Aa, Ab)
         return (H2, H1, E, F, Ma, Mb)
 
     neg = jnp.full((BT, W), NEG)
     init = (H2_0, neg, neg, neg, neg, neg)
-    _, _, _, _, Ma, Mb = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    if with_dirs:
+        zi = jnp.full((BT, W), -1, jnp.int32)
+        init = init + (zi, zi)
+        out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        Ma, Mb, Aa, Ab = out[4], out[5], out[6], out[7]
+        # drain the last two dirs write-outs
+        if n_chunks >= 2:
+            dirs_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+        dirs_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        aa_ref[:] = Aa
+        ab_ref[:] = Ab
+    else:
+        _, _, _, _, Ma, Mb = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, init
+        )
 
     # undo the drift: after its last update at step a, an accumulator
     # holds gd*a + max H; Ma's last update was a = Apad - 2, Mb's Apad - 1
     Ma = Ma - jnp.float32(gd * (Apad - 2))
     Mb = Mb - jnp.float32(gd * (Apad - 1))
+    if with_dirs:
+        ma_ref[:] = Ma
+        mb_ref[:] = Mb
     # pair p's slots have (a + k) ≡ p: even-step accumulator Ma holds
     # pair 0 on even lanes / pair 1 on odd lanes; Mb the reverse.
     p0 = jnp.maximum(jnp.where(even_k, Ma, NEG), jnp.where(even_k, NEG, Mb))
@@ -319,14 +408,20 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         subst, go: float, ge: float, flags: ModeFlags,
                         w_eff=None, A: int = 4, block_b: int = 256,
                         interpret: bool = False, r_chunk: int = _R,
-                        _strip: int = 0):
-    """Antidiagonal dual-pair banded DP (score mode).
+                        with_dirs: bool = False, _strip: int = 0):
+    """Antidiagonal dual-pair banded DP.
 
-    Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp` minus
-    direction bytes (``dirs`` is a 0-size array; ``end_i``/``end_j`` are
-    -1 sentinels — use the row kernel or lax engine when traceback or
-    end cells are needed).  Requires ``w_eff <= W - 1`` (one lane of
-    slack absorbs the per-pair parity adjustment of dmin).
+    Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp`.  By
+    default score-only (``dirs`` is a 0-size array; ``end_i``/``end_j``
+    are -1 sentinels).  With ``with_dirs=True`` the kernel additionally
+    streams direction bytes to HBM in the **antidiagonal layout**
+    ``dirs[b2, a, x]`` — tile row ``b2`` holds pairs ``(2 b2, 2 b2+1)``,
+    cell (i, j) of pair p sits at step ``a = i+j``, lane
+    ``x = (i-j) - dmin'_p`` with ``dmin'_p`` the parity-adjusted band
+    start (``dmin + (p - dmin) % 2``) — walk it with
+    :func:`biseqt_tpu.native.traceback_batch_ad`.  ``end_i``/``end_j``
+    are then real per-pair end cells.  Requires ``w_eff <= W - 1`` (one
+    lane of slack absorbs the per-pair parity adjustment of dmin).
     """
     assert W % 128 == 0, "pad band width to a multiple of 128"
     assert go <= 0 and ge <= 0, "kernel requires nonpositive gap scores"
@@ -348,19 +443,20 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
         uniform=uniform, r_chunk=int(r_chunk), strip=int(_strip),
+        with_dirs=bool(with_dirs),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
-                     "uniform", "r_chunk", "strip"),
+                     "uniform", "r_chunk", "strip", "with_dirs"),
 )
 def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              w_eff, *, W: int, go: float, ge: float,
                              flags: ModeFlags, A: int, block_b: int,
                              interpret: bool, uniform, r_chunk: int = _R,
-                             strip: int = 0):
+                             strip: int = 0, with_dirs: bool = False):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     if w_eff is None:
@@ -436,6 +532,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     kernel = functools.partial(
         _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
         flags=flags, uniform=uniform, R=r_chunk, strip=strip,
+        with_dirs=with_dirs,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM
@@ -445,6 +542,34 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         hi2[:, 0:1], hi2[:, 1:2], sl2[:, 0:1], sl2[:, 1:2],
         tl2[:, 0:1], tl2[:, 1:2],
     ]
+    out_specs = [vspec((BT, 1)), vspec((BT, 1))]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # si buffer
+        pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # tir buffer
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if with_dirs:
+        out_specs = out_specs + [
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dirs (HBM)
+            vspec((BT, W)), vspec((BT, W)),             # Ma / Mb
+            vspec((BT, W)), vspec((BT, W)),             # Aa / Ab
+        ]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((Bp2, Apad, W), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
+            jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
+            jax.ShapeDtypeStruct((Bp2, W), jnp.int32),
+            jax.ShapeDtypeStruct((Bp2, W), jnp.int32),
+        ]
+        scratch = [
+            scratch[0], scratch[1],
+            pltpu.VMEM((2, BT, r_chunk, W), jnp.uint8),  # dirs buffer
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -454,22 +579,45 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             pl.BlockSpec(memory_space=pltpu.ANY),   # si (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),   # tir (HBM)
         ],
-        out_specs=[vspec((BT, 1)), vspec((BT, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp2, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # si buffer
-            pltpu.VMEM((2, BT, W + r_chunk), jnp.int8),    # tir buffer
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*scalar_ins, subst_flat, si, tir)
     score = jnp.stack([out[0][:, 0], out[1][:, 0]], axis=1).reshape(Bp)[:B]
-    sent = jnp.full((B,), -1, jnp.int32)
-    return DPResult(score=score, end_i=sent, end_j=sent,
-                    dirs=jnp.zeros((), jnp.uint8))
+    if not with_dirs:
+        sent = jnp.full((B,), -1, jnp.int32)
+        return DPResult(score=score, end_i=sent, end_j=sent,
+                        dirs=jnp.zeros((), jnp.uint8))
+
+    # end-cell recovery: pair p's per-lane maxima live on even lanes of
+    # its even-step accumulator and odd lanes of the odd-step one (slot
+    # parity (a + k) ≡ p); the step-of-max arrays follow the same split.
+    dirs_hbm, Ma, Mb, Aa, Ab = out[2], out[3], out[4], out[5], out[6]
+    lane_even = (jnp.arange(W, dtype=jnp.int32) % 2) == 0
+    v0 = jnp.where(lane_even[None, :], Ma, Mb)
+    v1 = jnp.where(lane_even[None, :], Mb, Ma)
+    A0 = jnp.where(lane_even[None, :], Aa, Ab)
+    A1 = jnp.where(lane_even[None, :], Ab, Aa)
+
+    def ends(v, Astep, pair_slot):
+        k_star = jnp.argmax(v, axis=1).astype(jnp.int32)       # [Bp2]
+        a_star = jnp.take_along_axis(
+            Astep, k_star[:, None], axis=1
+        )[:, 0]
+        dq = dmin2[:, pair_slot]
+        d_star = dq + k_star
+        return (a_star + d_star) // 2, (a_star - d_star) // 2
+
+    if flags.local_end or flags.free_end_edges:
+        ei0, ej0 = ends(v0, A0, 0)
+        ei1, ej1 = ends(v1, A1, 1)
+        end_i = jnp.stack([ei0, ei1], axis=1).reshape(Bp)[:B]
+        end_j = jnp.stack([ej0, ej1], axis=1).reshape(Bp)[:B]
+    else:
+        end_i = s_lens
+        end_j = t_lens
+    return DPResult(score=score, end_i=end_i, end_j=end_j, dirs=dirs_hbm)

@@ -27,16 +27,24 @@ import jax.numpy as jnp
 from .sequence import Sequence
 from .blot import WordBlot, band_radius
 from .ops.banded_dp import banded_dp, ModeFlags
-from .ops.pallas_dp import banded_dp_pallas
 
 __all__ = ["discover_and_extend", "extend_segments"]
 
 
 def _bucket(n, mini=128):
+    """Round up to a half-power-of-two grid (1M, 1.5M, 2M, 3M, ...).
+
+    Coarse on purpose: every distinct bucketed shape is a separate XLA
+    compile, and in this environment compiles are remote round-trips
+    that cost minutes at genome shapes while the wasted band cells cost
+    fractions of a second — two variants per octave is the sweet spot
+    (measured: a warm 5 Mbp run re-compiled its extension because the
+    second genome's segments fell in adjacent 1/8-granularity buckets).
+    """
     n = max(int(n), 1)
     if n <= mini:
         return mini
-    step = max(mini, 1 << (max(n.bit_length(), 3) - 3))
+    step = max(mini, 1 << (max(n.bit_length(), 2) - 2))
     return ((n + step - 1) // step) * step
 
 
@@ -87,66 +95,110 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         cut.append((i_lo, i_hi, j_lo, j_hi, d_lo - off, d_hi - off))
 
     B = len(cut)
-    ls_max = max(c[1] - c[0] for c in cut)
-    lt_max = max(c[3] - c[2] for c in cut)
-    W_max = max(c[5] - c[4] + 1 for c in cut)
-    LS = _bucket(ls_max)
-    LT = _bucket(lt_max)
-    W = _bucket(W_max, mini=128)
-    s_codes = np.zeros((B, LS), np.int8)
-    t_codes = np.zeros((B, LT), np.int8)
-    s_lens = np.zeros((B,), np.int32)
-    t_lens = np.zeros((B,), np.int32)
-    dmin = np.zeros((B,), np.int32)
-    w_eff = np.zeros((B,), np.int32)
-    for b, (i_lo, i_hi, j_lo, j_hi, dl, dh) in enumerate(cut):
-        s_lens[b] = i_hi - i_lo
-        t_lens[b] = j_hi - j_lo
-        s_codes[b, : s_lens[b]] = s_arr[i_lo:i_hi]
-        t_codes[b, : t_lens[b]] = t_arr[j_lo:j_hi]
-        width = dh - dl + 1
-        # pad on the dmin side to the shared W (lane mask trims it)
-        dmin[b] = dh - W + 1
-        w_eff[b] = min(width, W)
-
     # local mode: the optimal alignment starts/ends wherever the homology
     # does, independent of the (padded) rectangle rim
     flags = ModeFlags(local_start=True, local_end=True)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas and not with_transcripts:
-        # score-only: the antidiagonal dual-pair kernel (the throughput
-        # path).  It needs w_eff <= W - 1 (one lane of parity slack);
-        # extension bands are padded discovery rectangles, so dropping
-        # one diagonal from a full-width band is immaterial.
-        from .ops.pallas_dp_ad import banded_dp_pallas_ad
 
-        fn = banded_dp_pallas_ad
-        w_eff = np.minimum(w_eff, W - 1)
-        extra = {}
-    else:
-        fn = banded_dp_pallas if use_pallas else banded_dp
-        extra = {"with_dirs": with_transcripts}
+    # Group segments by bucketed cutout shape and launch per group:
+    # genome-scale candidate lists mix ~megabase block homologies with
+    # short spurious hits, so padding every segment to the global max is
+    # O(max/typical) wasted memory and compute (a 5 Mbp run OOMed exactly
+    # there), while per-shape launches still amortize compiles over 1-2
+    # variants.  Within a group, batches are additionally capped so the
+    # kernel's char streams stay ~< 1 GB per launch.
+    groups: Dict[tuple, List[int]] = {}
+    for idx, c in enumerate(cut):
+        key = (_bucket(c[1] - c[0]), _bucket(c[3] - c[2]),
+               _bucket(c[5] - c[4] + 1, mini=128))
+        groups.setdefault(key, []).append(idx)
+
     from .profiling import Phase
 
-    total_cells = int(np.sum(w_eff.astype(np.int64) * s_lens))
-    with Phase("pipeline.extend", cells=total_cells):
+    scores = np.zeros((B,), np.float32)
+    ops = [""] * B
+    si_all = np.zeros((B,), np.int32)
+    sj_all = np.zeros((B,), np.int32)
+    subst = np.asarray(subst, np.float32)
+    STREAM_CHAR_BUDGET = 400_000_000   # per-launch char budget (~0.8 GB)
+
+    def _launch(idxs, LS, LT, W):
+        n = len(idxs)
+        s_codes = np.zeros((n, LS), np.int8)
+        t_codes = np.zeros((n, LT), np.int8)
+        s_lens = np.zeros((n,), np.int32)
+        t_lens = np.zeros((n,), np.int32)
+        dmin = np.zeros((n,), np.int32)
+        w_eff = np.zeros((n,), np.int32)
+        for b, idx in enumerate(idxs):
+            i_lo, i_hi, j_lo, j_hi, dl, dh = cut[idx]
+            s_lens[b] = i_hi - i_lo
+            t_lens[b] = j_hi - j_lo
+            s_codes[b, : s_lens[b]] = s_arr[i_lo:i_hi]
+            t_codes[b, : t_lens[b]] = t_arr[j_lo:j_hi]
+            # pad on the dmin side to the shared W (lane mask trims it)
+            dmin[b] = dh - W + 1
+            w_eff[b] = min(dh - dl + 1, W)
+        ad = False
+        if use_pallas:
+            # the antidiagonal dual-pair kernel (the throughput path),
+            # score-only or with direction bytes.  It needs
+            # w_eff <= W - 1 (one lane of parity slack); extension bands
+            # are padded discovery rectangles, so dropping one diagonal
+            # is immaterial.
+            from .ops.pallas_dp_ad import banded_dp_pallas_ad
+
+            ad = True
+            fn = banded_dp_pallas_ad
+            w_eff = np.minimum(w_eff, W - 1)
+            # shrink the tile to the actual batch (the default 256-row
+            # tile would round a handful of megabase segments up to 512)
+            extra = {"with_dirs": with_transcripts,
+                     "block_b": min(256, max(8, -(-((n + 1) // 2) // 8) * 8))}
+        else:
+            fn = banded_dp
+            extra = {"with_dirs": with_transcripts}
         res = fn(
             jnp.asarray(s_codes), jnp.asarray(t_codes),
             jnp.asarray(s_lens), jnp.asarray(t_lens),
-            jnp.asarray(dmin), W=W, subst=np.asarray(subst, np.float32),
+            jnp.asarray(dmin), W=W, subst=subst,
             go=float(go_score), ge=float(ge_score), flags=flags,
             w_eff=jnp.asarray(w_eff), **extra,
         )
-        scores = np.asarray(res.score)
-    if with_transcripts:
-        from . import native
+        scores[idxs] = np.asarray(res.score)
+        if with_transcripts:
+            from . import native
 
-        ops, si, sj = native.traceback_batch(
-            np.asarray(res.dirs), dmin + (W - 1), s_codes, t_codes,
-            s_lens, t_lens, np.asarray(res.end_i), np.asarray(res.end_j),
-            flags,
-        )
+            if ad:
+                pairb = np.arange(n, dtype=np.int32) % 2
+                dminq = dmin + (pairb - dmin) % 2
+                g_ops, g_si, g_sj = native.traceback_batch_ad(
+                    np.asarray(res.dirs), dminq, s_codes, t_codes,
+                    s_lens, t_lens, np.asarray(res.end_i),
+                    np.asarray(res.end_j), flags,
+                )
+            else:
+                g_ops, g_si, g_sj = native.traceback_batch(
+                    np.asarray(res.dirs), dmin + (W - 1), s_codes,
+                    t_codes, s_lens, t_lens, np.asarray(res.end_i),
+                    np.asarray(res.end_j), flags,
+                )
+            for b, idx in enumerate(idxs):
+                ops[idx] = g_ops[b]
+                si_all[idx] = g_si[b]
+                sj_all[idx] = g_sj[b]
+
+    total_cells = sum(
+        int(c[5] - c[4] + 1) * int(c[1] - c[0]) for c in cut
+    )
+    with Phase("pipeline.extend", cells=total_cells):
+        for (LS, LT, W), idxs in sorted(groups.items()):
+            per_pair = LS + LT + 2 * W
+            cap = max(2, 2 * (STREAM_CHAR_BUDGET // max(per_pair, 1)))
+            for k in range(0, len(idxs), cap):
+                _launch(idxs[k:k + cap], LS, LT, W)
+
     out = []
     for b, seg in enumerate(segments):
         seg = dict(seg)
@@ -156,8 +208,8 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         )
         if with_transcripts:
             seg["transcript"] = ops[b]
-            seg["origin_start"] = int(cut[b][0] + si[b])
-            seg["mutate_start"] = int(cut[b][2] + sj[b])
+            seg["origin_start"] = int(cut[b][0] + si_all[b])
+            seg["mutate_start"] = int(cut[b][2] + sj_all[b])
         out.append(seg)
     return out
 

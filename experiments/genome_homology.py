@@ -48,22 +48,14 @@ def rearranged_pair(rng, size, n_blocks=8, subst=0.08, gap=0.02):
     return A_seq, B_seq, truth
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=2_000_000)
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--wordlen", type=int, default=12)
-    args = ap.parse_args()
-    size = 100_000 if args.quick else args.size
-    n_blocks = 4 if args.quick else 8
-    rng = np.random.default_rng(1)
-
+def run_once(seed, size, n_blocks, wordlen):
+    rng = np.random.default_rng(seed)
     t0 = time.time()
     A_seq, B_seq, truth = rearranged_pair(rng, size, n_blocks=n_blocks)
     t_sim = time.time() - t0
 
     t0 = time.time()
-    wb = WordBlot(A_seq, B_seq, wordlen=args.wordlen, g_max=0.1)
+    wb = WordBlot(A_seq, B_seq, wordlen=wordlen, g_max=0.1)
     t_index = time.time() - t0
 
     K_min = max(size // n_blocks // 8, 200)
@@ -87,7 +79,7 @@ def main():
         )
         found += hit
     cells = sum(s.get("band_cells", 0) for s in ext)
-    print(json.dumps({
+    return {
         "size": size, "n_blocks": n_blocks,
         "n_segments": len(ext),
         "block_recall": found / len(truth),
@@ -98,7 +90,30 @@ def main():
         "t_extend": round(t_extend, 2),
         "extended_cells": cells,
         "extend_gcups": round(cells / max(t_extend, 1e-9) / 1e9, 2),
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=2_000_000)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--wordlen", type=int, default=12)
+    ap.add_argument("--warm", action="store_true",
+                    help="run the flow twice on different genome pairs "
+                         "and report the second pass: first-pass remote "
+                         "TPU compiles (minutes at genome shapes) "
+                         "otherwise dominate every phase timing")
+    args = ap.parse_args()
+    size = 100_000 if args.quick else args.size
+    n_blocks = 4 if args.quick else 8
+
+    if args.warm:
+        warmup = run_once(1, size, n_blocks, args.wordlen)
+        print(json.dumps({"pass": "cold", **warmup}))
+    res = run_once(2 if args.warm else 1, size, n_blocks, args.wordlen)
+    if args.warm:
+        res = {"pass": "warm", **res}
+    print(json.dumps(res))
     from biseqt_tpu.profiling import report
     print(report())
 

@@ -82,6 +82,49 @@ def main():
         dirs_ok &= (tx_l, i_l, j_l) == (tx_p, i_p, j_p)
     check("dirs_traceback_parity", dirs_ok)
 
+    # AD-kernel dirs: antidiagonal-layout bytes walked by the native AD
+    # tracer must rescore to exactly the kernel's DP score
+    from biseqt_tpu import native
+
+    def rescore(ops, s, t, si, sj):
+        sc, i, j, prev = 0.0, si, sj, None
+        for op in ops:
+            if op in "MS":
+                sc += subst[s[i], t[j]]
+                i += 1
+                j += 1
+            elif op == "I":
+                sc += -1.0 + (-2.0 if prev != "I" else 0.0)
+                j += 1
+            else:
+                sc += -1.0 + (-2.0 if prev != "D" else 0.0)
+                i += 1
+            prev = op
+        return sc
+
+    ad_dirs_ok = True
+    for mname, fl in (("local", ModeFlags(local_start=True, local_end=True)),
+                      ("global", ModeFlags()),
+                      ("overlap", ModeFlags(free_start_edges=True,
+                                            free_end_edges=True))):
+        kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=fl,
+                  w_eff=w_eff)
+        res = banded_dp_pallas_ad(*args, block_b=8, with_dirs=True, **kw)
+        sc = np.asarray(res.score)
+        pairb = np.arange(B, dtype=np.int32) % 2
+        dmin_np = np.asarray(dmin)
+        dminq = dmin_np + (pairb - dmin_np) % 2
+        ops_l, si_l, sj_l = native.traceback_batch_ad(
+            np.asarray(res.dirs), dminq, ss, ts,
+            np.asarray(lens), np.asarray(lens),
+            np.asarray(res.end_i), np.asarray(res.end_j), fl)
+        for b in range(B):
+            if sc[b] < -1e29:
+                continue
+            got = rescore(ops_l[b], ss[b], ts[b], si_l[b], sj_l[b])
+            ad_dirs_ok &= abs(got - sc[b]) < 1e-2
+    check("ad_dirs_rescore", ad_dirs_ok)
+
     # sorted all-vs-all on planted overlapping reads
     from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
     glen, rlen, n_reads = 2000, 600, 8

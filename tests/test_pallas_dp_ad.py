@@ -44,6 +44,73 @@ def test_ad_kernel_matches_lax(rng, flags):
     np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
 
 
+def _rescore(ops, s, t, si, sj, subst, go, ge):
+    score, i, j, prev = 0.0, si, sj, None
+    for op in ops:
+        if op in "MS":
+            score += subst[s[i], t[j]]
+            i += 1
+            j += 1
+        elif op == "I":
+            score += ge + (go if prev != "I" else 0.0)
+            j += 1
+        else:
+            score += ge + (go if prev != "D" else 0.0)
+            i += 1
+        prev = op
+    return score, i, j
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_ad_kernel_dirs_transcripts(rng, flags):
+    """with_dirs=True: the antidiagonal direction bytes walked by the
+    native AD tracer yield transcripts that rescore to exactly the DP
+    score, for both pairs of every dual-pair plane, across modes."""
+    from biseqt_tpu import native
+
+    args, w_eff = _mk_batch(rng)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    go, ge = -2.0, -1.0
+    kw = dict(W=128, subst=subst, go=go, ge=ge, flags=flags,
+              w_eff=jnp.asarray(w_eff))
+    res = banded_dp_pallas_ad(
+        *args, interpret=True, block_b=8, r_chunk=16, with_dirs=True,
+        **kw)
+    ref = np.asarray(banded_dp(*args, **kw).score)
+    score = np.asarray(res.score)
+    np.testing.assert_allclose(score, ref, atol=1e-2, err_msg=str(flags))
+
+    ss, ts, s_lens, t_lens, dmin = [np.asarray(a) for a in args]
+    B = ss.shape[0]
+    pair = np.arange(B, dtype=np.int32) % 2
+    dminq = dmin + (pair - dmin) % 2
+    ops, si, sj = native.traceback_batch_ad(
+        np.asarray(res.dirs), dminq, ss, ts, s_lens, t_lens,
+        np.asarray(res.end_i), np.asarray(res.end_j), flags,
+    )
+    anchored_end = not (flags.local_end or flags.free_end_edges)
+    anchored_start = not (flags.local_start or flags.free_start_edges)
+    n_checked = 0
+    for b in range(B):
+        if score[b] < -1e29:
+            # unreachable (e.g. global corner outside the live band):
+            # no transcript exists by construction
+            continue
+        n_checked += 1
+        assert set(ops[b]) <= set("MSID"), (b, ops[b][:40])
+        got, ei, ej = _rescore(
+            ops[b], ss[b], ts[b], si[b], sj[b], subst, go, ge
+        )
+        assert got == pytest.approx(score[b], abs=1e-2), (b, flags)
+        assert ei == int(np.asarray(res.end_i)[b])
+        assert ej == int(np.asarray(res.end_j)[b])
+        if anchored_end:
+            assert (ei, ej) == (s_lens[b], t_lens[b])
+        if anchored_start:
+            assert (si[b], sj[b]) == (0, 0)
+    assert n_checked >= B - 1, "test geometry should mostly be reachable"
+
+
 def test_ad_kernel_general_subst_fractional_ge(rng):
     """Non-uniform substitution matrix + fractional ge exercises the
     general lookup path and the drifted-state arithmetic."""
