@@ -234,8 +234,15 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
 
         for r in range(R):
             a = a0 + r                      # traced (c) + static (r)
-            if strip >= 1:   # perf diagnostics: no window slices / sub
+            if strip in (1, 2):  # perf diagnostics: no window rolls / sub
                 sub = jnp.float32(-1.0 + 2.0 * gd)
+            elif strip == 3:  # diagnostics: rolls with shift 1 only
+                # (garbage scores — measures whether roll cost scales
+                # with the shift amount's binary stages)
+                sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
+                if r + 1 < R:
+                    s_chunk = pltpu.roll(s_chunk, 1, 1)
+                    t_chunk = pltpu.roll(t_chunk, 1, 1)
             else:
                 sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
                 if r + 1 < R:
@@ -323,7 +330,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 tracked = jnp.where(cond, H_new, NEG)
             # accumulators drift +2*gd per own update so maxima
             # across steps compare drift-consistently
-            if strip >= 2:
+            if strip == 2:
                 pass
             elif r % 2 == 0:
                 Ms = Ma + (2.0 * gd)

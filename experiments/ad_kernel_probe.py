@@ -44,7 +44,7 @@ def main():
 
     cells = B * 10000 * BW
     out = {}
-    for strip in (0, 2, 1):
+    for strip in (0, 3, 2, 1):
         res = banded_dp_pallas_ad(*mkargs(0), w_eff=w_eff, _strip=strip,
                                   **kw)
         _ = np.asarray(res.score)       # warm/compile
