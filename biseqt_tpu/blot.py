@@ -191,11 +191,21 @@ class WordBlot:
         merge (O(#seeds log)) when the grid would not fit (the ~Mbp genome
         configs, where the (d, a) plane is huge but seeds are sparse).
         """
+        from .profiling import Phase
+
         r = self.band_radius(K_min)
         acell = max(2 * K_min, 2)
         dcell = max(r, 1)
         n_d = (len(self.S) + len(self.T)) // dcell + 2
         n_a = (len(self.S) + len(self.T)) // acell + 2
+        with Phase("blot.discover"):
+            segs = list(self._similar_segments_inner(
+                K_min, p_min, at_least_one, r, acell, dcell, n_d, n_a
+            ))
+        yield from segs
+
+    def _similar_segments_inner(self, K_min, p_min, at_least_one, r,
+                                acell, dcell, n_d, n_a):
         if n_d * n_a > self.MAX_GRID_CELLS:
             yield from self._segments_sparse(
                 K_min, p_min, dcell, acell, at_least_one

@@ -78,6 +78,12 @@ class SeedIndex:
                 self._save(path)
 
     def _build(self, capacity_hint: Optional[int]):
+        from .profiling import Phase
+
+        with Phase("seeds.build"):
+            self._build_timed(capacity_hint)
+
+    def _build_timed(self, capacity_hint: Optional[int]):
         ls, lt = len(self.S), len(self.T)
         A = len(self.alphabet)
         # bucket the padded code shapes so repeated builds over different
