@@ -92,3 +92,32 @@ def test_extend_segments_with_transcripts(rng):
         assert rescored == pytest.approx(seg["score"], abs=1e-3), seg
         # transcripts cover most of a planted core
         assert len(seg["transcript"]) > 200
+
+
+def test_extend_segments_shape_grouped(rng):
+    """Mixed segment sizes land in different shape buckets -> separate
+    launches; per-segment scores must equal singleton-call scores
+    (scatter-back correctness), for both score-only and transcripts."""
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.03, ge_prob=0.1,
+                        rng=rng)
+    # one long and two short homologies, far apart
+    longc = rand_seq(A4, 3000, rng=rng)
+    shorts = [rand_seq(A4, 250, rng=rng) for _ in range(2)]
+    sp = lambda n: rand_seq(A4, n, rng=rng)
+    S = longc + sp(300) + shorts[0] + sp(300) + shorts[1]
+    T = (M.mutate(longc)[0] + sp(700) + M.mutate(shorts[0])[0]
+         + sp(700) + M.mutate(shorts[1])[0])
+    wb = WordBlot(S, T, wordlen=8, g_max=0.2)
+    segments = list(wb.similar_segments(K_min=120, p_min=0.6))
+    assert len(segments) >= 3
+    batched = extend_segments(S, T, segments, use_pallas=False,
+                              with_transcripts=True)
+    # bucketed cutout shapes must differ (i.e. the batch really grouped)
+    spans = {seg["band_cells"] for seg in batched}
+    assert len(spans) > 1
+    for k, seg in enumerate(segments):
+        solo = extend_segments(S, T, [seg], use_pallas=False)[0]
+        assert batched[k]["score"] == pytest.approx(solo["score"],
+                                                    abs=1e-3)
+        assert set(batched[k]["transcript"]) <= set("MSID")
+        assert len(batched[k]["transcript"]) > 0
