@@ -321,3 +321,27 @@ def test_band_sharded_ad_edge_lanes_valid(rng):
             np.asarray(got), np.asarray(ref.score), atol=1e-3,
             err_msg=str(flags),
         )
+
+
+def test_sorted_allvsall_chunked_matches_unchunked(rng):
+    """The chunked wrapper (the past-the-int32-composite-key-ceiling
+    path) reproduces the single-launch engine exactly, including the
+    shifted last window."""
+    from biseqt_tpu.ops.allvsall_sorted import (
+        overlap_stats_sorted, overlap_stats_sorted_chunked,
+    )
+
+    reads, _ = _reads_with_overlaps(rng, n_reads=11, glen=2400, rlen=500)
+    codes, lens = pack_sequences(reads, pad_to=640)
+    kw = dict(wordlen=8, n_reads=len(reads), bucket=32, max_run=8)
+    ref = {
+        k: np.asarray(v) for k, v in overlap_stats_sorted(
+            jnp.asarray(codes), jnp.asarray(lens), **kw
+        ).items()
+    }
+    # max_chunk=4 forces 3 windows over 11 query rows, the last shifted
+    got = overlap_stats_sorted_chunked(
+        jnp.asarray(codes), jnp.asarray(lens), max_chunk=4, **kw
+    )
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
