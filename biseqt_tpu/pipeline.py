@@ -218,16 +218,19 @@ def discover_and_extend(S: Sequence, T: Sequence, *, wordlen: int = 8,
                         K_min: int = 100, p_min: float = 0.6,
                         g_max: float = 0.2, subst=None,
                         go_score=-3.0, ge_score=-1.0,
-                        use_pallas: bool = None):
+                        use_pallas: bool = None,
+                        with_transcripts: bool = False):
     """Word-Blot discovery + batched banded extension, one call.
 
-    Returns the discovered segments with DP ``score`` attached, sorted by
-    score descending.
+    Returns the discovered segments with DP ``score`` attached (plus
+    MSID ``transcript`` / start coordinates when ``with_transcripts``),
+    sorted by score descending.
     """
     wb = WordBlot(S, T, wordlen=wordlen, g_max=g_max)
     segments = list(wb.similar_segments(K_min=K_min, p_min=p_min))
     extended = extend_segments(
         S, T, segments, subst=subst, go_score=go_score,
         ge_score=ge_score, use_pallas=use_pallas,
+        with_transcripts=with_transcripts,
     )
     return sorted(extended, key=lambda s: -s["score"])
