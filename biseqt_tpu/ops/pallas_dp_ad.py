@@ -48,7 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .banded_dp import NEG, DPResult, ModeFlags
 
-__all__ = ["banded_dp_pallas_ad"]
+__all__ = ["banded_dp_pallas_ad", "parity_adjusted_dmin"]
+
+
+def parity_adjusted_dmin(dmin, pair_index):
+    """The kernel's per-pair band start ``dmin'`` (``dmin`` adjusted
+    upward so ``dmin' ≡ pair (mod 2)``) — the lane addressing contract
+    of the antidiagonal dirs plane (`native.traceback_batch_ad`).
+    One definition, shared by the kernel wrapper and every consumer."""
+    return dmin + (pair_index - dmin) % 2
 
 _R = 128          # antidiagonal steps per chunk (DMA granularity, unroll)
 PAD_S = -1        # s-stream pad code (never equals a t code)
@@ -96,12 +104,20 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
     lane_okf_aeven = jnp.where(even_k, okf0, okf1)
     lane_okf_aodd = jnp.where(even_k, okf1, okf0)
 
-    # E/F lane shifts are circular rolls with NO wrap masks: the live
-    # range of each pair is at most W-1 lanes wide (the wrapper clamps
-    # w_eff <= W-1), so the wrap source lane (0 for E, W-1 for F) is
-    # always a dead lane of the wrapping pair, and dead lanes are
-    # poisoned to <= NEG*steps by the per-step additive lane masks —
-    # wrapped-in values lose every max.  Saves 2 vector ops/step.
+    # E/F lane shifts are circular rolls and MUST mask the wrap
+    # destination lane (W-1 for E, 0 for F) every step.  A round-2
+    # attempt to drop these masks ("the wrap source is a dead lane, and
+    # dead lanes are poisoned") was WRONG: the additive lane masks
+    # poison H only — the E/F carries are never damped on dead lanes
+    # (in drifted form they decay exactly at the legitimate ge-per-lane
+    # rate), so a live value that wraps re-enters the live band after
+    # paying only the in-band gap cost while having illegally teleported
+    # its coordinate by W — a phantom path that overscores whenever the
+    # band's bottom edge is richer than its top (repro: rich d=0 edge +
+    # corner on the d=126 edge -> 176 vs true 72).  Additive masks (one
+    # add each, same cost as a select).
+    wrapmask_E = jnp.where(karange == W - 1, NEG, 0.0)
+    wrapmask_F = jnp.where(karange == 0, NEG, 0.0)
 
     sltl0 = sl0 + tl0
     sltl1 = sl1 + tl1
@@ -261,8 +277,8 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                     jnp.where(E >= HpGo, 4.0, 0.0), W - 1, 1
                 )
                 f8 = pltpu.roll(jnp.where(F >= HpGo, 8.0, 0.0), 1, 1)
-            E = pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1)
-            F = pltpu.roll(jnp.maximum(HpGo, F), 1, 1)
+            E = pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1) + wrapmask_E
+            F = pltpu.roll(jnp.maximum(HpGo, F), 1, 1) + wrapmask_F
             diag_cand = H2 + sub
             H_new = jnp.maximum(jnp.maximum(diag_cand, E), F)
             if flags.local_start:
@@ -468,8 +484,8 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     LT = t_codes.shape[1]
     if w_eff is None:
         w_eff = jnp.full((B,), W - 1, jnp.int32)
-    # <= W-1 is load-bearing: the kernel's E/F rolls have no wrap masks,
-    # which is only safe when each pair leaves at least one dead lane
+    # <= W-1 is load-bearing: one lane of slack absorbs the per-pair
+    # parity adjustment of dmin (dminq = dmin + up drops the bottom lane)
     w_eff = jnp.minimum(w_eff.astype(jnp.int32), W - 1)
     s_lens = s_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)

@@ -124,13 +124,17 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     STREAM_CHAR_BUDGET = 400_000_000   # per-launch char budget (~0.8 GB)
 
     def _launch(idxs, LS, LT, W):
+        # bucket the batch dim too (pad with inert length-1 rows):
+        # distinct n would otherwise be distinct jit shapes, and every
+        # distinct shape is a remote compile in this environment
         n = len(idxs)
-        s_codes = np.zeros((n, LS), np.int8)
-        t_codes = np.zeros((n, LT), np.int8)
-        s_lens = np.zeros((n,), np.int32)
-        t_lens = np.zeros((n,), np.int32)
-        dmin = np.zeros((n,), np.int32)
-        w_eff = np.zeros((n,), np.int32)
+        n_pad = _bucket(n, mini=8)
+        s_codes = np.zeros((n_pad, LS), np.int8)
+        t_codes = np.zeros((n_pad, LT), np.int8)
+        s_lens = np.ones((n_pad,), np.int32)
+        t_lens = np.ones((n_pad,), np.int32)
+        dmin = np.zeros((n_pad,), np.int32)
+        w_eff = np.ones((n_pad,), np.int32)
         for b, idx in enumerate(idxs):
             i_lo, i_hi, j_lo, j_hi, dl, dh = cut[idx]
             s_lens[b] = i_hi - i_lo
@@ -155,7 +159,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             # shrink the tile to the actual batch (the default 256-row
             # tile would round a handful of megabase segments up to 512)
             extra = {"with_dirs": with_transcripts,
-                     "block_b": min(256, max(8, -(-((n + 1) // 2) // 8) * 8))}
+                     "block_b": min(256, max(8, -(-((n_pad + 1) // 2) // 8) * 8))}
         else:
             fn = banded_dp
             extra = {"with_dirs": with_transcripts}
@@ -166,13 +170,16 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             go=float(go_score), ge=float(ge_score), flags=flags,
             w_eff=jnp.asarray(w_eff), **extra,
         )
-        scores[idxs] = np.asarray(res.score)
+        scores[idxs] = np.asarray(res.score)[:n]
         if with_transcripts:
             from . import native
 
             if ad:
-                pairb = np.arange(n, dtype=np.int32) % 2
-                dminq = dmin + (pairb - dmin) % 2
+                from .ops.pallas_dp_ad import parity_adjusted_dmin
+
+                dminq = parity_adjusted_dmin(
+                    dmin, np.arange(n_pad, dtype=np.int32) % 2
+                )
                 g_ops, g_si, g_sj = native.traceback_batch_ad(
                     np.asarray(res.dirs), dminq, s_codes, t_codes,
                     s_lens, t_lens, np.asarray(res.end_i),
@@ -195,6 +202,12 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     with Phase("pipeline.extend", cells=total_cells):
         for (LS, LT, W), idxs in sorted(groups.items()):
             per_pair = LS + LT + 2 * W
+            if with_transcripts:
+                # the dominant allocation is then the direction-byte
+                # plane (~(LS+LT) * W / 2 bytes per pair), not the char
+                # streams — budget it or genome-scale transcript runs
+                # exhaust HBM
+                per_pair += (LS + LT + 2 * W) * W // 2
             cap = max(2, 2 * (STREAM_CHAR_BUDGET // max(per_pair, 1)))
             for k in range(0, len(idxs), cap):
                 _launch(idxs[k:k + cap], LS, LT, W)

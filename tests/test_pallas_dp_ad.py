@@ -44,6 +44,31 @@ def test_ad_kernel_matches_lax(rng, flags):
     np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
 
 
+def test_ad_kernel_no_wrap_phantom(rng):
+    """Adversarial band geometry for the circular E/F rolls: a rich
+    bottom-edge diagonal (X vs X at d=0) and the global corner on the
+    top edge (d=126).  Without wrap masks on the roll destinations, the
+    bottom-edge score wraps lane 0 -> lane W-1 and reaches the corner
+    as an illegal teleported gap (measured 176 vs the true 72)."""
+    X = rng.integers(0, 4, 200).astype(np.int8)
+    Z = rng.integers(0, 4, 126).astype(np.int8)
+    S = np.concatenate([X, Z])[None, :]
+    T = np.pad(X, (0, 126), constant_values=0)[None, :]
+    sl = jnp.asarray([326], jnp.int32)
+    tl = jnp.asarray([200], jnp.int32)
+    dmin = jnp.asarray([-1], jnp.int32)
+    w_eff = jnp.asarray([127], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=ModeFlags(),
+              w_eff=w_eff)
+    ref = np.asarray(banded_dp(jnp.asarray(S), jnp.asarray(T), sl, tl,
+                               dmin, **kw).score)
+    got = np.asarray(banded_dp_pallas_ad(
+        jnp.asarray(S), jnp.asarray(T), sl, tl, dmin,
+        interpret=True, block_b=8, r_chunk=16, **kw).score)
+    np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
 def _rescore(ops, s, t, si, sj, subst, go, ge):
     score, i, j, prev = 0.0, si, sj, None
     for op in ops:
