@@ -128,7 +128,19 @@ class WordBlot:
 
     # -- core machinery -------------------------------------------------------
     def _grids(self, K: int):
-        """Bucket seeds into (d-cell, a-cell) histogram + 3x3 sums."""
+        """Bucket seeds into (d-cell, a-cell) histogram + 3x3 sums.
+
+        Memoized per K: the seed set is immutable after the index build,
+        and both similar_segments and _best_fallback need the same grid
+        (each rebuild is a device scatter + a ~32 ms tunnel dispatch)."""
+        cached = getattr(self, "_grids_cache", None)
+        if cached is not None and cached[0] == K:
+            return cached[1]
+        out = self._grids_impl(K)
+        self._grids_cache = (K, out)
+        return out
+
+    def _grids_impl(self, K: int):
         r = self.band_radius(K)
         d_, a = self.seed_index.seed_arrays()
         acell = max(2 * K, 2)

@@ -71,6 +71,10 @@ class KmerIndex:
         )
         self.wordlen = int(wordlen)
         self.alphabet = alphabet
+        # np.savez appends '.npz' to suffixless names; normalize so the
+        # cache-hit check, save, and load agree on the on-disk name
+        if path and not path.endswith(".npz"):
+            path = path + ".npz"
         self.path = path
         self._ids: List[str] = []       # content ids of indexed sequences
         self._lens: List[int] = []
@@ -118,6 +122,7 @@ class KmerIndex:
         self._seqs = sids
         self._poss = poss
         self._n = int(keys.shape[0])
+        self._keys_np = None            # invalidate the hits() cache
         if self.path:
             self.save(self.path)
         return self
@@ -136,13 +141,22 @@ class KmerIndex:
         """All (seq_id, pos) occurrences of a packed k-mer.
 
         ``searchsorted`` over the sorted key column — the B-tree lookup.
+        Runs on HOST copies of the columns (cached on first use): a
+        device searchsorted costs two ~32 ms tunnel dispatches per
+        lookup in this environment, vs microseconds for numpy — this is
+        the reference's point-query path, not a batch op.
         """
-        lo = int(jnp.searchsorted(self._keys, jnp.int32(kmer), side="left"))
-        hi = int(jnp.searchsorted(self._keys, jnp.int32(kmer), side="right"))
+        if getattr(self, "_keys_np", None) is None or \
+                len(self._keys_np) != self._n:
+            self._keys_np = np.asarray(self._keys)
+            self._seqs_np = np.asarray(self._seqs)
+            self._poss_np = np.asarray(self._poss)
+        lo = int(np.searchsorted(self._keys_np, np.int32(kmer), "left"))
+        hi = int(np.searchsorted(self._keys_np, np.int32(kmer), "right"))
         return list(
             zip(
-                np.asarray(self._seqs[lo:hi]).tolist(),
-                np.asarray(self._poss[lo:hi]).tolist(),
+                self._seqs_np[lo:hi].tolist(),
+                self._poss_np[lo:hi].tolist(),
             )
         )
 
@@ -190,6 +204,12 @@ class KmerIndex:
         self._poss = jnp.asarray(np.asarray(self._poss)[keep])
         removed = int(drop.sum())
         self._n -= removed
+        self._keys_np = None            # invalidate the hits() cache
+        if self.path:
+            # keep the snapshot in sync — index_kmers auto-saves, so a
+            # stale unmasked snapshot would resurrect the masked k-mers
+            # in the next process
+            self.save(self.path)
         return removed
 
     # -- database integration -------------------------------------------------
@@ -242,12 +262,19 @@ class KmerIndex:
     def load(self, path: str):
         z = np.load(path, allow_pickle=True)
         assert int(z["wordlen"]) == self.wordlen, "wordlen mismatch"
+        saved_letters = str(z["letters"])
+        want = "\x00".join(self.alphabet.letters)
+        assert saved_letters == want, (
+            "alphabet mismatch: snapshot %r vs index %r"
+            % (saved_letters.split("\x00"), list(self.alphabet.letters))
+        )
         self._keys = jnp.asarray(z["keys"])
         self._seqs = jnp.asarray(z["seqs"])
         self._poss = jnp.asarray(z["poss"])
         self._lens = z["lens"].tolist()
         self._ids = z["ids"].tolist()
         self._n = int(z["keys"].shape[0])
+        self._keys_np = None            # invalidate the hits() cache
         return self
 
 

@@ -67,6 +67,10 @@ class SeedIndex:
         self.S, self.T = S, T
         self.wordlen = int(wordlen)
         self.alphabet = S.alphabet
+        # np.savez appends '.npz' to suffixless names; normalize so the
+        # cache-hit check, save, and load agree on the on-disk name
+        if path is not None and not path.endswith(".npz"):
+            path = path + ".npz"
         self.path = path
         if path is not None and os.path.exists(path):
             # reuse persisted seeds (the reference reused its SQLite
@@ -115,9 +119,6 @@ class SeedIndex:
             if total <= cap:
                 break
             cap = _next_pow2(total)
-        self._d_dev = out["d_"]          # device copies (sentinel tail),
-        self._a_dev = out["a"]           # for downstream batched device ops
-        self._n_dev = total
         self._d_ = np.asarray(out["d_"][:total]).astype(np.int64)
         self._a = np.asarray(out["a"][:total]).astype(np.int64)
         # composite key for O(log n) 2-D band queries
@@ -228,23 +229,29 @@ class SeedIndexMultiple:
     """
 
     def __init__(self, *seqs: Sequence, wordlen: int = 8,
-                 max_hits_per_kmer: int = 8, device: bool = None):
+                 max_hits_per_kmer: int = None, device: bool = None):
         assert len(seqs) >= 2
         self.seqs = seqs
         self.wordlen = int(wordlen)
         self.alphabet = seqs[0].alphabet
         if device is None:
-            # the device tier emits first-hit seeds (one position tuple
-            # per shared k-mer); auto-select it when cross products are
-            # not requested OR the host dict tier would be slow (at
-            # N=10 x 100 kbp the host tier is minutes, the device tier
-            # one radix sort)
-            device = (max_hits_per_kmer == 1
-                      or sum(len(s) for s in seqs) > 200_000)
+            # the device tier emits first-hit seeds (ONE position tuple
+            # per shared k-mer — no cross products); auto-select it only
+            # when the caller did not explicitly request cross products
+            # (max_hits_per_kmer left at None) and the host dict tier
+            # would be slow (at N=10 x 100 kbp it is minutes, the device
+            # tier one radix sort).  An explicit max_hits_per_kmer > 1
+            # always gets the host tier that honors it.
+            if max_hits_per_kmer is None:
+                device = (sum(len(s) for s in seqs) > 200_000)
+            else:
+                device = max_hits_per_kmer == 1
         if device:
             self._build_device()
         else:
-            self._build_host(max_hits_per_kmer)
+            self._build_host(
+                8 if max_hits_per_kmer is None else max_hits_per_kmer
+            )
 
     def _build_device(self):
         """One global radix sort + scatter-min: first-hit N-way seeds."""

@@ -1,5 +1,6 @@
 """K-mer packing + index tests (ref strategy: tests/test_kmers.py)."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -145,3 +146,40 @@ def test_incremental_refresh_merges_batches():
     idx2.refresh()
     assert idx2.num_seqs == 2 and idx2.num_kmers == 12
     assert {s for s, _ in idx2.hits(km)} == {0, 1}
+
+
+def test_snapshot_path_without_npz_suffix_is_reused(tmp_path):
+    """np.savez appends '.npz' to suffixless paths; the index must still
+    find its own snapshot on the next construction (it silently rebuilt
+    every run before the path normalization)."""
+    p = str(tmp_path / "idx_cache")     # no .npz suffix on purpose
+    idx = KmerIndex(4, A4, path=p)
+    idx.index_kmers([Sequence(A4, (0, 1, 2, 3, 0, 1, 2, 3))])
+    assert os.path.exists(p + ".npz")
+    idx2 = KmerIndex(4, A4, path=p)
+    assert idx2.num_kmers == idx.num_kmers and idx2.num_kmers > 0
+
+
+def test_snapshot_alphabet_mismatch_rejected(tmp_path):
+    p = str(tmp_path / "idx.npz")
+    KmerIndex(4, A4, path=p).index_kmers(
+        [Sequence(A4, (0, 1, 2, 3, 0, 1, 2, 3))]
+    )
+    import pytest as _pytest
+    from biseqt_tpu.sequence import Alphabet as _Alph
+    with _pytest.raises(AssertionError, match="alphabet mismatch"):
+        KmerIndex(4, _Alph("TGCA"), path=p)
+
+
+def test_mask_repetitive_persists_to_snapshot(tmp_path):
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "idx.npz")
+    seqs = [Sequence(A4, tuple(rng.integers(0, 4, 500).tolist()))]
+    # inject a heavy repeat so masking has something to drop
+    rep = Sequence(A4, (0, 1, 0, 2) * 100)
+    idx = KmerIndex(4, A4, path=p)
+    idx.index_kmers(seqs + [rep])
+    removed = idx.mask_repetitive(max_score=5.0)
+    assert removed > 0
+    idx2 = KmerIndex(4, A4, path=p)
+    assert idx2.num_kmers == idx.num_kmers, "snapshot kept masked table"
