@@ -42,7 +42,10 @@ def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
     own = False
     f = path_or_file
     if isinstance(path_or_file, str):
-        f = open(path_or_file, "r")
+        # binary mode: source_pos is a BYTE offset, and universal-newline
+        # text mode silently shrinks \r\n to \n (every offset after a
+        # CRLF line would be short by the cumulative line count)
+        f = open(path_or_file, "rb")
         own = True
     try:
         name, chunks, pos, count = None, [], 0, 0
@@ -51,6 +54,8 @@ def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
         for line in f:
             line_start = offset
             offset += len(line)
+            if isinstance(line, bytes):
+                line = line.decode("ascii")
             line_s = line.strip()
             if line_s.startswith(">"):
                 if name is not None:
@@ -173,8 +178,12 @@ class DB:
             )
         except sqlite3.IntegrityError:
             return None
-        self._conn.commit()
+        # store contents BEFORE committing the metadata row: committing
+        # first leaves a permanent orphan record if the pool write fails
+        # (the UNIQUE constraint then blocks idempotent re-ingestion from
+        # ever repairing it)
         self._store_contents(cid, seq)
+        self._conn.commit()
         rec = Record(
             id=cur.lastrowid, content_id=cid, source_file=source_file,
             source_pos=source_pos, attrs=attrs,

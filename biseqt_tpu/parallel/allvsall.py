@@ -268,7 +268,7 @@ def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
 
     ``method``: 'sorted' (single-device sort-join engine — the fast path,
     ~100k pair-scores/s on v5e), 'blockwise' (mesh-sharded per-pair
-    search), or 'auto' (sorted when it fits).
+    search), or 'auto' (sorted unless a mesh is passed — the chunked sort-join has no read-count ceiling).
 
     Returns a list of ``(q, t, diag, p, s0)`` with q < t, filtered by H0
     rejection and match-probability thresholds (mirrors what the reference
@@ -276,22 +276,23 @@ def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
     """
     N, L = np.asarray(codes).shape
     if method == "auto":
-        nbins = (2 * L) // kw.get("bucket", 32) + 2
-        method = "sorted" if N * N * nbins < 2 ** 31 else "blockwise"
+        # the chunked sorted engine has no N ceiling; prefer it whenever
+        # no mesh was requested
+        method = "blockwise" if kw.get("mesh") is not None else "sorted"
     if method == "sorted":
-        from ..ops.allvsall_sorted import overlap_stats_sorted
+        from ..ops.allvsall_sorted import overlap_stats_sorted_chunked
 
         stats = {
-            k: np.asarray(v) for k, v in overlap_stats_sorted(
+            k: np.asarray(v) for k, v in overlap_stats_sorted_chunked(
                 jnp.asarray(np.asarray(codes, np.int8)),
                 jnp.asarray(np.asarray(lengths, np.int32)),
                 wordlen=wordlen, n_reads=int(N),
+                alphabet_len=kw.get("alphabet_len", 4),
                 bucket=kw.get("bucket", 32),
                 max_run=kw.get("max_hits", 4),
             ).items()
         }
     else:
-        kw.pop("max_hits", None)
         stats = overlap_matrix_sharded(
             codes, lengths, wordlen=wordlen, **kw
         )

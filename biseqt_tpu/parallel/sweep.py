@@ -47,9 +47,12 @@ def checkpointed_overlap_sweep(codes, lengths, out_dir: str, *,
     manifest = {
         "n": N, "l": L, "wordlen": wordlen, "block": block,
         "bucket": bucket, "max_hits": max_hits,
+        "alphabet_len": alphabet_len,
     }
     if os.path.exists(manifest_path):
         old = json.load(open(manifest_path))
+        # tolerate manifests written before alphabet_len was recorded
+        old.setdefault("alphabet_len", alphabet_len)
         assert old == manifest, (
             "checkpoint dir holds a different sweep: %r" % (old,)
         )

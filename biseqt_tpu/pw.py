@@ -314,9 +314,13 @@ class Aligner:
         W = dmax - dmin + 1
         Wp = _bucket(W, mini=128)
         ls, lt = len(self.origin), len(self.mutate)
-        s = np.full((1, max(ls, 1)), -1, np.int8)
+        # bucket padded shapes like the lax path: every distinct (ls, lt)
+        # is otherwise a fresh remote Pallas compile (lengths ride
+        # alongside, so padding is semantically inert)
+        ls_p, lt_p = _bucket(max(ls, 1)), _bucket(max(lt, 1))
+        s = np.full((1, ls_p), -1, np.int8)
         s[0, :ls] = self.origin.to_array(np.int8)
-        t = np.full((1, max(lt, 1)), -1, np.int8)
+        t = np.full((1, lt_p), -1, np.int8)
         t[0, :lt] = self.mutate.to_array(np.int8)
         import jax
 
