@@ -57,10 +57,10 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
             W: int, LSp: int, BT: int, A: int, go: float, ge: float,
             flags: ModeFlags, uniform: tuple, with_dirs: bool = False):
     if with_dirs:
-        (dirs_hbm, H_sc, sbuf, tbuf, sems,
+        (dirs_hbm, sbuf, tbuf, sems,
          dbuf, dsems, best_sc, bi_sc, bk_sc) = rest
     else:
-        H_sc, sbuf, tbuf, sems = rest
+        sbuf, tbuf, sems = rest
     b = pl.program_id(0)
     row0 = b * BT
     karange = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
@@ -258,7 +258,14 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
             if track_local:
                 best_vec = jnp.maximum(best_vec, H)
                 if with_dirs:
-                    masked = jnp.where(lane_ok, H_new, NEG)
+                    # j-validity matters here: local_start floors even
+                    # out-of-matrix lanes to 0, so a tie-at-0 argmax
+                    # could otherwise record an end cell with j outside
+                    # [0, tlen] (the walker would index garbage)
+                    jv = karange + (i - dmax)
+                    masked = jnp.where(
+                        lane_ok & (jv >= 0) & (jv <= tlen), H_new, NEG
+                    )
                     rowmax = jnp.max(masked, axis=1, keepdims=True)
                     rowarg = jnp.argmax(masked, axis=1).astype(
                         jnp.int32
@@ -278,8 +285,11 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
                     bi_sc[:] = jnp.where(better, i, bi_sc[:])
                     bk_sc[:] = jnp.where(better, kcol, bk_sc[:])
                     best_sc[:] = jnp.where(better, colval, best_sc[:])
-                    # last row (i == slen): any j
-                    masked = jnp.where(lane_ok, H_new, NEG)
+                    # last row (i == slen): any j in matrix
+                    jv = karange + (i - dmax)
+                    masked = jnp.where(
+                        lane_ok & (jv >= 0) & (jv <= tlen), H_new, NEG
+                    )
                     rowmax = jnp.max(masked, axis=1, keepdims=True)
                     rowarg = jnp.argmax(masked, axis=1).astype(
                         jnp.int32
@@ -296,7 +306,6 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
         0, n_chunks, chunk_body,
         (H0, jnp.full((BT, W), NEG), jnp.full((BT, W), NEG)),
     )
-    H_sc[:] = H
     if with_dirs:
         # drain the last two dirs write-outs
         @pl.when(n_chunks >= 2)
@@ -323,6 +332,11 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
     if with_dirs and (flags.local_end or flags.free_end_edges):
         ei_ref[:] = bi_sc[:]
         ek_ref[:] = bk_sc[:]
+    elif flags.local_end or flags.free_end_edges:
+        # score-only solve does not track the optimum cell; report -1
+        # sentinels rather than the (wrong) matrix corner
+        ei_ref[:] = jnp.full(ei_ref.shape, -1, jnp.int32)
+        ek_ref[:] = jnp.full(ek_ref.shape, 0, jnp.int32)
     else:
         ei_ref[:] = slen
         ek_ref[:] = kcorner
@@ -401,24 +415,31 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     # ~15 steps is a full-width rotate + select (pure VPU), and the final
     # validity mask blanks wrapped/out-of-range lanes.
     Y = LSp + W
+    # ring length: a valid cell reads src = y - dmax in [0, tlen); with
+    # dmax < 0, src exceeds LSp + W, and a ring of that length would
+    # alias T[src - ring] UNDER A PASSING MASK (silently wrong letters
+    # exactly when the band sits left of the main diagonal and T is
+    # long).  Cover LT as well so every maskable src is representable;
+    # the kernel still reads only the first Y columns.
+    Y2 = Y + LT
     t_codes_p = jnp.pad(
         t_codes.astype(jnp.int8),
-        ((0, Bp - B), (0, max(Y - LT, 0))), constant_values=0,
-    )[:, :Y]
-    # normalize to a nonnegative rotate amount in [0, Y)
-    shift = jnp.mod(dmax_p[:, None], Y)
+        ((0, Bp - B), (0, max(Y2 - LT, 0))), constant_values=0,
+    )[:, :Y2]
+    # normalize to a nonnegative rotate amount in [0, Y2)
+    shift = jnp.mod(dmax_p[:, None], Y2)
     t2 = t_codes_p
     bit = 1
-    while bit < Y:
+    while bit < Y2:
         t2 = jnp.where(
             (shift & bit) != 0, jnp.roll(t2, bit, axis=1), t2
         )
         bit <<= 1
-    yy = jnp.arange(Y, dtype=jnp.int32)[None, :]
+    yy = jnp.arange(Y2, dtype=jnp.int32)[None, :]
     src = yy - dmax_p[:, None]
     t2 = jnp.where(
         (src >= 0) & (src < t_lens_p[:, None]), t2.astype(jnp.int32), -1
-    )
+    )[:, :Y]
     subst_flat = subst.reshape(1, A * A)
 
     BT = block_b
@@ -437,7 +458,6 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
     ]
     scratch = [
-        pltpu.VMEM((BT, W), jnp.float32),           # H out staging
         pltpu.VMEM((2, BT, _R), jnp.int32),         # s double buffer
         pltpu.VMEM((2, BT, W + _R), jnp.int32),     # t2 double buffer
         pltpu.SemaphoreType.DMA((2, 2)),
@@ -489,5 +509,5 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     score = score[:B, 0]
     ei = ei[:B, 0]
     ek = ek[:B, 0]
-    ej = ei - dmax + ek
+    ej = jnp.where(ei < 0, -1, ei - dmax + ek)
     return DPResult(score=score, end_i=ei, end_j=ej, dirs=dirs)

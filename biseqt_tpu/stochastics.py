@@ -99,7 +99,6 @@ class MutationProcess:
             assert self.subst_probs.shape == (n, n)
             assert np.allclose(self.subst_probs.sum(axis=1), 1.0, atol=1e-8)
         assert 0 <= ge_prob < 1 and 0 <= go_prob < 1
-        assert go_prob <= ge_prob or go_prob == 0 or True  # no constraint in ref
         self.go_prob = float(go_prob)
         self.ge_prob = float(ge_prob)
         # distribution over inserted letters (uniform default)

@@ -185,3 +185,32 @@ def test_aligner_pallas_backend(rng):
     assert tx_p.calculate_score(
         a_p.subst_scores, -2.0, -1.0
     ) == pytest.approx(s_lax, abs=1e-3)
+
+
+def test_pallas_negative_dmax_long_t_matches_lax(rng):
+    """Band entirely left of the main diagonal (dmax < 0) with a mutate
+    sequence longer than LSp + W: the band-frame roll ring must not
+    alias wrapped T letters under a passing validity mask."""
+    B, LS, LT, W = 2, 120, 640, 128
+    ss = rng.integers(0, 4, (B, LS)).astype(np.int8)
+    # plant the true homology far right in T: T[300 + m] = S[m]
+    ts = rng.integers(0, 4, (B, LT)).astype(np.int8)
+    ts[:, 300:300 + LS] = ss
+    s_lens = jnp.asarray(np.full((B,), LS, np.int32))
+    t_lens = jnp.asarray(np.full((B,), LT, np.int32))
+    dmin = jnp.asarray(np.full((B,), -420, np.int32))  # dmax = -293 < 0
+    w_eff = jnp.asarray(np.full((B,), W - 1, np.int32))
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    for flags in (ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                  w_eff=w_eff)
+        ref = np.asarray(banded_dp(
+            jnp.asarray(ss), jnp.asarray(ts), s_lens, t_lens, dmin, **kw
+        ).score)
+        got = np.asarray(banded_dp_pallas(
+            jnp.asarray(ss), jnp.asarray(ts), s_lens, t_lens, dmin,
+            interpret=True, block_b=8, **kw
+        ).score)
+        np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
+        assert ref[0] > 100  # the planted diagonal was actually in band
