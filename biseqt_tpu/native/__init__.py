@@ -82,7 +82,7 @@ def _load():
     lib.bst_fasta_pack.restype = ctypes.c_int64
     lib.bst_fasta_pack.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -189,8 +189,13 @@ def traceback_batch(dirs, dmax, s_codes, t_codes, s_lens, t_lens,
         ops_len.ctypes.data,
     )
     assert rc == 0, "bst_traceback_batch failed"
+    bad = np.nonzero(ops_len < 0)[0]
+    assert bad.size == 0, (
+        "traceback walk left the direction plane for pairs %s — "
+        "wrong dmax/end cell or corrupted dirs" % bad[:8].tolist()
+    )
     ops = [
-        ops_buf[b, : max(ops_len[b], 0)].tobytes().decode("ascii")
+        ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
         for b in range(B)
     ]
     return ops, start_i, start_j
@@ -233,8 +238,14 @@ def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
         ops_len.ctypes.data,
     )
     assert rc == 0, "bst_traceback_ad_batch failed"
+    bad = np.nonzero(ops_len < 0)[0]
+    assert bad.size == 0, (
+        "AD traceback walk left the byte plane for pairs %s — "
+        "wrong dminq (parity-adjust with parity_adjusted_dmin), wrong "
+        "end cell, or corrupted dirs" % bad[:8].tolist()
+    )
     ops = [
-        ops_buf[b, : max(ops_len[b], 0)].tobytes().decode("ascii")
+        ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
         for b in range(B)
     ]
     return ops, start_i, start_j
@@ -272,13 +283,20 @@ def fasta_pack(path: str, code_map=None):
     offsets = np.zeros((max(nrec, 1),), np.int64)
     lengths = np.zeros((max(nrec, 1),), np.int64)
     names_cap = 1 << 20
-    names_buf = ctypes.create_string_buffer(names_cap)
-    got = lib.bst_fasta_pack(
-        path.encode(), code_map.ctypes.data,
-        codes.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-        names_buf, names_cap,
-    )
-    assert got == nrec, (got, nrec)
+    while True:
+        names_buf = ctypes.create_string_buffer(names_cap)
+        needed = ctypes.c_int64()
+        got = lib.bst_fasta_pack(
+            path.encode(), code_map.ctypes.data,
+            codes.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            names_buf, names_cap, ctypes.byref(needed),
+        )
+        assert got == nrec, (got, nrec)
+        if needed.value <= names_cap:
+            break
+        # truncated names are untrustworthy (a dropped NUL would shift
+        # every later name) — retry with the reported requirement
+        names_cap = int(needed.value) + 1
     names = names_buf.raw.split(b"\0")[:nrec]
     return codes, offsets[:nrec], lengths[:nrec], [
         x.decode("ascii", "replace") for x in names

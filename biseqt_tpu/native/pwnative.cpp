@@ -333,12 +333,17 @@ int bst_fasta_scan(const char* path, const int8_t* code_map,
 // Pass 2: pack codes into a flat buffer; offsets[r] = start of record r,
 // lengths[r] = its length; names flattened into names_buf separated by
 // '\0' (caller sizes via scan + name_cap). Returns number of records.
+// names_needed (optional out): bytes required to hold every name + its
+// NUL.  When it exceeds names_cap the buffer content is TRUNCATED and
+// must not be trusted (a silently dropped terminator would shift every
+// later name) — the binding retries with the reported size.
 int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
                        int8_t* codes, int64_t* offsets, int64_t* lengths,
-                       char* names_buf, int64_t names_cap) {
+                       char* names_buf, int64_t names_cap,
+                       int64_t* names_needed) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    int64_t rec = -1, pos = 0, name_pos = 0;
+    int64_t rec = -1, pos = 0, name_pos = 0, name_need = 0;
     bool in_header = false, header_started = false;
     int c;
     while ((c = std::fgetc(f)) != EOF) {
@@ -353,10 +358,15 @@ int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
         if (in_header) {
             if (c == '\n') {
                 in_header = false;
+                ++name_need;
                 if (name_pos < names_cap) names_buf[name_pos++] = '\0';
-            } else if (header_started && name_pos + 1 < names_cap) {
+            } else if (header_started) {
                 if (c == ' ' || c == '\t') header_started = false;
-                else names_buf[name_pos++] = (char)c;
+                else {
+                    ++name_need;
+                    if (name_pos + 1 < names_cap)
+                        names_buf[name_pos++] = (char)c;
+                }
             }
             continue;
         }
@@ -365,6 +375,7 @@ int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
         if (code >= 0) codes[pos++] = code;
     }
     if (rec >= 0) lengths[rec] = pos - offsets[rec];
+    if (names_needed) *names_needed = name_need;
     std::fclose(f);
     return rec + 1;
 }

@@ -174,22 +174,26 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         if with_transcripts:
             from . import native
 
+            # walk only the real rows: the inert batch-bucket padding
+            # pairs have garbage end cells (their walks would trip the
+            # binding's corruption check)
             if ad:
                 from .ops.pallas_dp_ad import parity_adjusted_dmin
 
                 dminq = parity_adjusted_dmin(
-                    dmin, np.arange(n_pad, dtype=np.int32) % 2
+                    dmin[:n], np.arange(n, dtype=np.int32) % 2
                 )
                 g_ops, g_si, g_sj = native.traceback_batch_ad(
-                    np.asarray(res.dirs), dminq, s_codes, t_codes,
-                    s_lens, t_lens, np.asarray(res.end_i),
-                    np.asarray(res.end_j), flags,
+                    np.asarray(res.dirs), dminq, s_codes[:n], t_codes[:n],
+                    s_lens[:n], t_lens[:n], np.asarray(res.end_i)[:n],
+                    np.asarray(res.end_j)[:n], flags,
                 )
             else:
                 g_ops, g_si, g_sj = native.traceback_batch(
-                    np.asarray(res.dirs), dmin + (W - 1), s_codes,
-                    t_codes, s_lens, t_lens, np.asarray(res.end_i),
-                    np.asarray(res.end_j), flags,
+                    np.asarray(res.dirs), dmin[:n] + (W - 1), s_codes[:n],
+                    t_codes[:n], s_lens[:n], t_lens[:n],
+                    np.asarray(res.end_i)[:n],
+                    np.asarray(res.end_j)[:n], flags,
                 )
             for b, idx in enumerate(idxs):
                 ops[idx] = g_ops[b]

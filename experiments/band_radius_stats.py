@@ -9,11 +9,14 @@ Usage: python experiments/band_radius_stats.py
 """
 
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from biseqt_tpu.sequence import Alphabet
 from biseqt_tpu.stochastics import rand_seq, MutationProcess

@@ -11,12 +11,15 @@ Usage: python experiments/genome_homology.py [--size 2000000] [--quick]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from biseqt_tpu.sequence import Alphabet, Sequence
 from biseqt_tpu.stochastics import rand_seq, MutationProcess

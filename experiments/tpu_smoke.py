@@ -156,7 +156,16 @@ def main():
                flags=ModeFlags(local_start=True, local_end=True),
                w_eff=jnp.full((Bb,), BW, jnp.int32), block_b=256)
     _ = np.asarray(banded_dp_pallas_ad(*bargs, **kwb).score)  # compile
-    bargs2 = [jnp.asarray(np.asarray(a)) for a in bargs]
+    # FRESH contents for the timed run: the tunnel caches identical
+    # executions, so re-timing the warmup inputs (even round-tripped
+    # through numpy) can be served from the cache and measure nothing
+    rr2 = np.random.default_rng(int(time.time()) ^ 0x5EED)
+    bargs2 = [jnp.asarray(x) for x in (
+        rr2.integers(0, 4, (Bb, Lb), dtype=np.int8),
+        rr2.integers(0, 4, (Bb, Lb), dtype=np.int8),
+        np.full((Bb,), 10000, np.int32), np.full((Bb,), 10000, np.int32),
+        np.full((Bb,), -(BW // 2), np.int32))]
+    jax.block_until_ready(bargs2)
     t0 = time.time()
     _ = np.asarray(banded_dp_pallas_ad(*bargs2, **kwb).score)
     gcups = Bb * 10000 * BW / (time.time() - t0) / 1e9

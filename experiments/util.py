@@ -4,11 +4,14 @@ Re-exports the result-caching decorator and provides plotting helpers that
 degrade gracefully when matplotlib is absent.
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root on path
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # repo root on path
 
 from biseqt_tpu.utils import with_dumpfile, ProgressIndicator, Timer  # noqa
 
