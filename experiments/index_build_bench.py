@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from biseqt_tpu.ops.tables import build_kmer_table
-from biseqt_tpu.parallel.allvsall import overlap_stats_block
 from biseqt_tpu.stochastics import rand_seq_batch
 
 
@@ -41,13 +40,15 @@ def main():
     args = ap.parse_args()
 
     N, L, w = args.reads, args.rlen, args.wordlen
-    key = jax.random.PRNGKey(0)
-    codes = rand_seq_batch(key, N, L)
+    # FRESH inputs for every timed dispatch: the tunnel caches identical
+    # executions, so re-timing the warmup inputs measures a cache hit
+    codes_w = rand_seq_batch(jax.random.PRNGKey(0), N, L)
+    codes = rand_seq_batch(jax.random.PRNGKey(1), N, L)
     lens = jnp.full((N,), L, jnp.int32)
-    jax.block_until_ready(codes)
+    jax.block_until_ready((codes_w, codes))
 
-    # --- k-mer table build (warm once for compile, then time) ---
-    r = build_kmer_table(codes, lens, w)
+    # --- k-mer table build (warm once for compile, then time fresh) ---
+    r = build_kmer_table(codes_w, lens, w)
     _ = np.asarray(r[3])
     t0 = time.time()
     keys, seqs, poss, n_valid = build_kmer_table(codes, lens, w)
@@ -59,7 +60,7 @@ def main():
 
     w_join = max(w, 12) if N * L > 2_000_000 else w  # scale-appropriate k
     stats = overlap_stats_sorted(
-        codes, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
+        codes_w, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
     )
     _ = np.asarray(stats["s0"])
     t0 = time.time()

@@ -46,12 +46,12 @@ def true_overlap(starts, read_len, q, t, min_olap):
     return o >= min_olap
 
 
-def ambiguous_overlap(starts, read_len, q, t, min_olap):
+def ambiguous_overlap(starts, read_len, q, t, min_olap, wordlen):
     """True overlap exists but is below the labeling threshold —
     detecting it is correct behavior, not a false positive; such pairs
     are excluded from precision/recall accounting."""
     o = read_len - abs(starts[q] - starts[t])
-    return 2 * 8 < o < min_olap
+    return 2 * wordlen < o < min_olap
 
 
 @with_dumpfile
@@ -67,7 +67,7 @@ def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
     d_errs = []
     for q in range(n_reads):
         for t in range(q + 1, n_reads):
-            if ambiguous_overlap(starts, read_len, q, t, min_olap):
+            if ambiguous_overlap(starts, read_len, q, t, min_olap, wordlen):
                 continue
             pred = (stats["s0"][q, t] >= min_score
                     and stats["p"][q, t] >= min_p

@@ -83,13 +83,20 @@ def run_sweep(seq_len=20000, n_segments=4, seg_len=1000, subst=0.1,
               p_mins=(0.5, 0.6, 0.7, 0.8), n_trials=3, seed=0):
     rng = np.random.default_rng(seed)
     rows = []
+    # plant + index ONCE per trial and sweep p_min over the SAME
+    # WordBlot objects: p_min only changes the significance filter, and
+    # fresh instances per threshold would confound the sweep with
+    # sampling noise (and redo the expensive index builds)
+    trials = []
+    for _ in range(n_trials):
+        S, T, planted = plant_homologies(
+            rng, seq_len, n_segments, seg_len, subst, gap
+        )
+        wb = WordBlot(S, T, wordlen=wordlen, g_max=max(2 * gap, 0.1))
+        trials.append((wb, planted))
     for p_min in p_mins:
         recalls, precs, p_errs = [], [], []
-        for _ in range(n_trials):
-            S, T, planted = plant_homologies(
-                rng, seq_len, n_segments, seg_len, subst, gap
-            )
-            wb = WordBlot(S, T, wordlen=wordlen, g_max=max(2 * gap, 0.1))
+        for wb, planted in trials:
             found = sorted(
                 wb.similar_segments(K_min=K_min, p_min=p_min),
                 key=lambda s: -s["num_seeds"],

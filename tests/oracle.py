@@ -65,8 +65,9 @@ def dp_oracle(s, t, subst, go, ge, *, dmin=None, dmax=None,
             h = max(diag, E[i][j], F[i][j])
             if local_start:
                 h = max(h, 0.0)
-            if free_start_edges and j == 0:
-                h = max(h, 0.0)
+            # (free_start_edges needs no clause here: the loop runs
+            # j >= 1, and the free i==0 row / j==0 column anchors are
+            # fully handled by the boundary init above)
             H[i][j] = h
 
     if local_end:
