@@ -59,14 +59,21 @@ def kmer_keys(codes, lengths, wordlen: int, alphabet_len: int = 4):
             % (alphabet_len, wordlen)
         )
     B, L = codes.shape
-    c = jnp.maximum(codes.astype(jnp.int32), 0)
+    codes_i = codes.astype(jnp.int32)
+    c = jnp.maximum(codes_i, 0)
     key = jnp.zeros((B, L), dtype=jnp.int32)
+    # any negative code INSIDE the window (e.g. an ambiguous base coded
+    # -1 mid-sequence) must sentinel the window too, not alias to base 0
+    has_pad = jnp.zeros((B, L), dtype=bool)
     for t in range(wordlen):
         # codes shifted left by t; out-of-range becomes 0 (masked later)
         shifted = jnp.pad(c[:, t:], ((0, 0), (0, t)))
         key = key + shifted * (alphabet_len ** (wordlen - 1 - t))
+        has_pad = has_pad | (
+            jnp.pad(codes_i[:, t:], ((0, 0), (0, t))) < 0
+        )
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = pos + wordlen <= lengths[:, None]
+    valid = (pos + wordlen <= lengths[:, None]) & ~has_pad
     return jnp.where(valid, key, KEY_SENTINEL)
 
 
@@ -114,6 +121,12 @@ def expand_join(starts, counts, capacity: int):
 
     Returns ``(query_idx [capacity], table_idx [capacity], valid [capacity],
     total)``.
+
+    Overflow contract: ``total`` is an int32 cumsum (x64 is disabled in
+    this stack); past 2^31 expanded pairs it wraps NEGATIVE.  Callers of
+    the total-vs-capacity re-call protocol MUST treat ``total < 0`` as
+    overflow, never as "fits" (2^31 seeds would not fit in HBM anyway —
+    the right response is an error or a coarser join).
     """
     counts = counts.astype(jnp.int32)
     ends = jnp.cumsum(counts)

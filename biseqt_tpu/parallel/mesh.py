@@ -31,8 +31,13 @@ def make_mesh(n_data: int = None, n_band: int = 1, devices=None) -> Mesh:
     devices = list(jax.devices()) if devices is None else list(devices)
     if n_data is None:
         n_data = len(devices) // n_band
-    assert n_data * n_band <= len(devices), (
-        "mesh %dx%d exceeds %d devices" % (n_data, n_band, len(devices))
-    )
+    if n_data < 1 or n_band < 1 or n_data * n_band > len(devices):
+        # a plain assert would vanish under -O, and n_band > device
+        # count would otherwise floor n_data to 0 and build an empty
+        # mesh that fails far from the real cause
+        raise ValueError(
+            "mesh %dx%d does not fit %d devices"
+            % (n_data, n_band, len(devices))
+        )
     devs = np.asarray(devices[: n_data * n_band]).reshape(n_data, n_band)
     return Mesh(devs, (DATA_AXIS, BAND_AXIS))

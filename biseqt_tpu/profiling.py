@@ -20,27 +20,33 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["Phase", "counters", "report", "gcups", "trace"]
+__all__ = ["Phase", "counters", "report", "gcups", "trace", "materialize"]
 
 _REGISTRY = defaultdict(lambda: {"calls": 0, "seconds": 0.0, "cells": 0})
 
 
 class Phase:
-    """Timer context: ``with Phase('extend', cells=n): ...``.
+    """Timer context: ``with Phase('extend', cells=n) as ph: ...``.
 
     ``cells`` accumulates DP-cell counts so :func:`report` can derive
-    GCUPS per phase.
+    GCUPS per phase.  For honest device timing, either materialize
+    results to host inside the block yourself or hand them to the phase
+    (``ph.result = out``): they are then materialized before the timer
+    stops, so async dispatch cannot end the phase early.
     """
 
-    def __init__(self, name: str, cells: int = 0):
+    def __init__(self, name: str, cells: int = 0, result=None):
         self.name = name
         self.cells = int(cells)
+        self.result = result
 
     def __enter__(self):
         self.t0 = time.time()
         return self
 
     def __exit__(self, *exc):
+        if self.result is not None and exc[0] is None:
+            materialize(self.result)
         dt = time.time() - self.t0
         entry = _REGISTRY[self.name]
         entry["calls"] += 1

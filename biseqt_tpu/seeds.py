@@ -116,6 +116,15 @@ class SeedIndex:
                 self.wordlen, A, capacity=cap,
             )
             total = int(out["total"])
+            if total < 0:
+                # int32 cumsum wrapped: > 2^31 seeds (see
+                # ops.tables.expand_join overflow contract) — that seed
+                # set would not fit in memory; demand a longer wordlen
+                raise OverflowError(
+                    "seed count exceeds 2^31 for wordlen=%d — use a "
+                    "longer wordlen or mask repetitive k-mers"
+                    % self.wordlen
+                )
             if total <= cap:
                 break
             cap = _next_pow2(total)

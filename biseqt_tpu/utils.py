@@ -87,8 +87,12 @@ def with_dumpfile(fn):
             d = os.path.dirname(dumpfile)
             if d:
                 os.makedirs(d, exist_ok=True)
-            with open(dumpfile, "wb") as f:
+            # atomic replace: a kill mid-dump must not leave a truncated
+            # pickle that poisons every later run's cache-hit path
+            tmp = dumpfile + ".tmp.%d" % os.getpid()
+            with open(tmp, "wb") as f:
                 pickle.dump(out, f)
+            os.replace(tmp, dumpfile)
         return out
 
     return wrapper
