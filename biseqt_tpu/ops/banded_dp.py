@@ -196,10 +196,37 @@ def _init_row(j_idx, lt, go, ge, flags: ModeFlags):
 # banded scan (lax backend)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("W", "flags", "with_dirs"))
+def _check_gap_scores(go, ge):
+    """The closed-form affine E scan assumes extending a gap never
+    loses to closing-and-reopening it, which requires go <= 0 and
+    ge <= 0 — with a positive score the engines would be silently
+    wrong, so the precondition is enforced where the values are still
+    concrete (skipped when tracing under an outer jit)."""
+    try:
+        ok = float(go) <= 0 and float(ge) <= 0
+    except TypeError:
+        return
+    if not ok:
+        raise ValueError(
+            "affine gap scores must satisfy go <= 0 and ge <= 0 "
+            "(got go=%r, ge=%r)" % (go, ge)
+        )
+
+
 def banded_dp(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
               subst, go, ge, flags: ModeFlags, with_dirs: bool = False,
               w_eff=None):
+    _check_gap_scores(go, ge)
+    return _banded_dp_jit(
+        s_codes, t_codes, s_lens, t_lens, dmin, W=W, subst=subst, go=go,
+        ge=ge, flags=flags, with_dirs=with_dirs, w_eff=w_eff,
+    )
+
+
+@partial(jax.jit, static_argnames=("W", "flags", "with_dirs"))
+def _banded_dp_jit(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
+                   subst, go, ge, flags: ModeFlags,
+                   with_dirs: bool = False, w_eff=None):
     """Batched banded affine-gap DP (lax.scan backend).
 
     Args:
@@ -333,11 +360,48 @@ def banded_dp(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         out = dirs if with_dirs else jnp.zeros((0,), jnp.uint8)
         return (H, F, best, bi, bk, corner), out
 
-    init = (
-        H0, F0,
-        jnp.full((B,), NEG), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), jnp.int32), jnp.full((B,), NEG),
+    # row 0 (the init row) is part of the matrix: its cells can be
+    # alignment ends — the j == LT ray at i = 0 in overlap mode, the
+    # zero-score cells in local mode, and the corner itself when
+    # s_lens == 0 — so the trackers are seeded from H0, not from NEG
+    # (the scan only visits rows 1..LS)
+    cell_valid0 = (
+        (j0 >= 0) & (j0 <= t_lens[:, None]) & (karange < w_eff[:, None])
     )
+    H0m = jnp.where(cell_valid0, H0, NEG)
+    best0 = jnp.full((B,), NEG)
+    bi0 = jnp.zeros((B,), jnp.int32)
+    bk0 = jnp.zeros((B,), jnp.int32)
+    if flags.local_end:
+        best0 = jnp.max(H0m, axis=1)
+        bk0 = jnp.argmax(H0m, axis=1).astype(jnp.int32)
+    if flags.free_end_edges:
+        kc0 = t_lens + dmax
+        in_b0 = (kc0 >= 0) & (kc0 < W)
+        colval0 = jnp.where(
+            in_b0,
+            jnp.take_along_axis(
+                H0m, jnp.clip(kc0, 0, W - 1)[:, None], axis=1
+            )[:, 0],
+            NEG,
+        )
+        b2 = colval0 > best0
+        best0 = jnp.where(b2, colval0, best0)
+        bk0 = jnp.where(b2, jnp.clip(kc0, 0, W - 1), bk0)
+        rm0 = jnp.max(H0m, axis=1)
+        ra0 = jnp.argmax(H0m, axis=1).astype(jnp.int32)
+        b3 = (s_lens == 0) & (rm0 > best0)
+        best0 = jnp.where(b3, rm0, best0)
+        bk0 = jnp.where(b3, ra0, bk0)
+    kcorner0 = t_lens + dmax
+    corner0 = jnp.where(
+        (s_lens == 0) & (kcorner0 >= 0) & (kcorner0 < W),
+        jnp.take_along_axis(
+            H0m, jnp.clip(kcorner0, 0, W - 1)[:, None], axis=1
+        )[:, 0],
+        NEG,
+    )
+    init = (H0, F0, best0, bi0, bk0, corner0)
     (H, F, best, bi, bk, corner), dirs_rows = jax.lax.scan(
         step, init, jnp.arange(1, LS + 1, dtype=jnp.int32)
     )
@@ -364,6 +428,16 @@ def banded_dp(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
 @partial(jax.jit, static_argnames=("flags", "with_dirs"))
 def full_dp(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
             flags: ModeFlags, with_dirs: bool = False):
+    _check_gap_scores(go, ge)
+    return _full_dp_jit(
+        s_codes, t_codes, s_lens, t_lens, subst=subst, go=go, ge=ge,
+        flags=flags, with_dirs=with_dirs,
+    )
+
+
+@partial(jax.jit, static_argnames=("flags", "with_dirs"))
+def _full_dp_jit(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
+                 flags: ModeFlags, with_dirs: bool = False):
     """Batched full-matrix affine-gap DP (lane k = column j).
 
     Same recurrence as :func:`banded_dp` with layout shifts
@@ -434,10 +508,32 @@ def full_dp(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
         out = dirs if with_dirs else jnp.zeros((0,), jnp.uint8)
         return (H, F, best, bi, bk, corner), out
 
-    init = (
-        H0, F0, jnp.full((B,), NEG), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), jnp.int32), jnp.full((B,), NEG),
+    # seed trackers from row 0 (same reasoning as in banded_dp: the
+    # init row's cells can be alignment ends, and the scan starts at 1)
+    cell_valid0 = j_idx <= t_lens[:, None]
+    H0m = jnp.where(cell_valid0, H0, NEG)
+    best0 = jnp.full((B,), NEG)
+    bi0 = jnp.zeros((B,), jnp.int32)
+    bk0 = jnp.zeros((B,), jnp.int32)
+    if flags.local_end:
+        best0 = jnp.max(H0m, axis=1)
+        bk0 = jnp.argmax(H0m, axis=1).astype(jnp.int32)
+    if flags.free_end_edges:
+        colval0 = jnp.take_along_axis(H0m, t_lens[:, None], axis=1)[:, 0]
+        b2 = colval0 > best0
+        best0 = jnp.where(b2, colval0, best0)
+        bk0 = jnp.where(b2, t_lens, bk0)
+        rm0 = jnp.max(H0m, axis=1)
+        ra0 = jnp.argmax(H0m, axis=1).astype(jnp.int32)
+        b3 = (s_lens == 0) & (rm0 > best0)
+        best0 = jnp.where(b3, rm0, best0)
+        bk0 = jnp.where(b3, ra0, bk0)
+    corner0 = jnp.where(
+        s_lens == 0,
+        jnp.take_along_axis(H0m, t_lens[:, None], axis=1)[:, 0],
+        NEG,
     )
+    init = (H0, F0, best0, bi0, bk0, corner0)
     (H, F, best, bi, bk, corner), dirs_rows = jax.lax.scan(
         step, init, jnp.arange(1, LS + 1, dtype=jnp.int32)
     )
@@ -465,17 +561,30 @@ def traceback_path(dirs, s_codes, t_codes, end_i, end_j, *, banded: bool,
     ``dirs``: [LS, W] uint8 for one pair (row r holds DP row i = r + 1).
     """
     dirs = np.asarray(dirs)
+    W = dirs.shape[1]
     s = np.asarray(s_codes)
     t = np.asarray(t_codes)
     i, j = int(end_i), int(end_j)
+
+    def byte_at(i, j):
+        k = (j - i + dmax) if banded else j
+        if k < 0 or k >= W or i < 1:
+            # a silent negative-index wraparound here would walk the
+            # wrong lane and return a plausible-looking garbage
+            # transcript; fail loudly instead
+            raise ValueError(
+                "traceback left the direction plane at (i=%d, j=%d) — "
+                "end cell outside the band or wrong dmax" % (i, j)
+            )
+        return int(dirs[i - 1, k])
+
     ops = []
     state = "H"
     while True:
         if state == "H":
             if i == 0 or j == 0:
                 break
-            k = (j - i + dmax) if banded else j
-            b = int(dirs[i - 1, k])
+            b = byte_at(i, j)
             src = b & 3
             if src == 0:  # fresh local/free start
                 break
@@ -488,8 +597,7 @@ def traceback_path(dirs, s_codes, t_codes, end_i, end_j, *, banded: bool,
             else:
                 state = "F"
         elif state == "E":
-            k = (j - i + dmax) if banded else j
-            b = int(dirs[i - 1, k])
+            b = byte_at(i, j)
             ops.append("I")
             j -= 1
             if not (b >> 2) & 1:
@@ -497,8 +605,7 @@ def traceback_path(dirs, s_codes, t_codes, end_i, end_j, *, banded: bool,
             if j == 0:
                 state = "H"
         else:  # F
-            k = (j - i + dmax) if banded else j
-            b = int(dirs[i - 1, k])
+            b = byte_at(i, j)
             ops.append("D")
             i -= 1
             if not (b >> 3) & 1:

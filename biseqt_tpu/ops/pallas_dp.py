@@ -96,10 +96,22 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
         h0 = jnp.where(j0 > 0, go + ge * j0.astype(jnp.float32), 0.0)
     H0 = jnp.where(valid0, h0, NEG)
 
+    # row 0 can hold alignment ends (the j == tlen ray at i = 0 in
+    # overlap mode, zero-score cells in local mode) — seed the trackers
+    # from it, matching the lax engine (whose scan also starts at i=1)
+    if flags.local_end:
+        best0_vec = H0
+    elif flags.free_end_edges:
+        best0_vec = jnp.where(karange == tlen + dmax, H0, NEG)
+    else:
+        best0_vec = jnp.full((BT, W), NEG)
+
     if with_dirs:
-        best_sc[:] = jnp.full((BT, 1), NEG)
+        best_sc[:] = jnp.max(best0_vec, axis=1, keepdims=True)
         bi_sc[:] = jnp.zeros((BT, 1), jnp.int32)
-        bk_sc[:] = jnp.zeros((BT, 1), jnp.int32)
+        bk_sc[:] = jnp.argmax(best0_vec, axis=1).astype(
+            jnp.int32
+        )[:, None]
 
     if uniform is None:
         srows = [
@@ -304,7 +316,7 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
 
     H, F, best_vec = jax.lax.fori_loop(
         0, n_chunks, chunk_body,
-        (H0, jnp.full((BT, W), NEG), jnp.full((BT, W), NEG)),
+        (H0, jnp.full((BT, W), NEG), best0_vec),
     )
     if with_dirs:
         # drain the last two dirs write-outs

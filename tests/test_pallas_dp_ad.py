@@ -151,3 +151,30 @@ def test_ad_kernel_general_subst_fractional_ge(rng):
     got = np.asarray(banded_dp_pallas_ad(
         *args, interpret=True, block_b=8, r_chunk=16, **kw).score)
     np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
+def test_ad_kernel_row0_and_empty_origin(rng):
+    """Degenerate geometry parity: free-end optimum on row 0, and an
+    empty-origin global pair (the all-gap alignment) — cases where scan
+    trackers that start at row 1 historically diverged."""
+    subst = np.full((4, 4), -100.0, np.float32)
+    s = jnp.asarray([[2, 2]], jnp.int8)
+    t = jnp.asarray([[0, 0]], jnp.int8)
+    tl = jnp.asarray([1], jnp.int32)
+    dmin = jnp.asarray([-64], jnp.int32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0,
+              w_eff=jnp.asarray([127], jnp.int32))
+    for sl_v, flags, want in (
+        (2, ModeFlags(free_end_edges=True), -3.0),
+        (0, ModeFlags(), -3.0),
+    ):
+        sl = jnp.asarray([sl_v], jnp.int32)
+        ref = float(np.asarray(banded_dp(
+            s, t, sl, tl, dmin, flags=flags, **kw
+        ).score)[0])
+        assert ref == pytest.approx(want), (sl_v, flags)
+        got = float(np.asarray(banded_dp_pallas_ad(
+            s, t, sl, tl, dmin, interpret=True, block_b=8, r_chunk=16,
+            flags=flags, **kw
+        ).score)[0])
+        assert got == pytest.approx(want), (sl_v, flags)

@@ -194,3 +194,59 @@ def test_solve_is_dirs_lazy(rng):
         res_before = aln._result
         aln.traceback()
         assert aln._result is res_before
+
+
+def test_row0_alignment_ends():
+    """Row i=0 cells are legitimate alignment ends (found by review: the
+    scan trackers previously started at i=1 with best=NEG).  Confirmed
+    repros: free-end optimum at H[0][1]; local-end zero at H[0][0];
+    empty-origin global pair = the all-gap alignment, not NEG."""
+    from biseqt_tpu.ops.banded_dp import banded_dp, full_dp, ModeFlags
+    import jax.numpy as jnp
+
+    subst = np.full((4, 4), -100.0, np.float32)
+    s = jnp.asarray([[2, 2]], jnp.int8)
+    t = jnp.asarray([[0, 0]], jnp.int8)
+    sl = jnp.asarray([2], jnp.int32)
+    tl = jnp.asarray([1], jnp.int32)
+    kw = dict(subst=subst, go=-2.0, ge=-1.0)
+    dmin = jnp.asarray([-4], jnp.int32)
+
+    # free END (anchored start): optimum ends at H[0][1] = go + ge
+    # (insert one char, delete nothing)
+    r = full_dp(s, t, sl, tl, flags=ModeFlags(free_end_edges=True), **kw)
+    assert float(r.score[0]) == pytest.approx(-3.0)
+    rb = banded_dp(s, t, sl, tl, dmin, W=8,
+                   flags=ModeFlags(free_end_edges=True), **kw)
+    assert float(rb.score[0]) == pytest.approx(-3.0)
+    # full overlap mode: the empty alignment on the edge rays scores 0
+    r = full_dp(s, t, sl, tl,
+                flags=ModeFlags(free_start_edges=True,
+                                free_end_edges=True), **kw)
+    assert float(r.score[0]) == pytest.approx(0.0)
+
+    # local END (anchored start): H[0][0] = 0 is the best end
+    r = full_dp(s, t, sl, tl, flags=ModeFlags(local_end=True), **kw)
+    assert float(r.score[0]) == pytest.approx(0.0)
+
+    # empty origin, global: the all-gap alignment scores go + ge*|T|
+    sl0 = jnp.asarray([0], jnp.int32)
+    r = full_dp(s, t, sl0, tl, flags=ModeFlags(), **kw)
+    assert float(r.score[0]) == pytest.approx(-3.0)
+    rb = banded_dp(s, t, sl0, tl, dmin, W=8, flags=ModeFlags(), **kw)
+    assert float(rb.score[0]) == pytest.approx(-3.0)
+
+
+def test_positive_gap_scores_rejected():
+    """The closed-form E scan requires go <= 0, ge <= 0 — positive
+    values used to return silently wrong scores."""
+    from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags
+    import jax.numpy as jnp
+
+    subst = np.where(np.eye(4, dtype=bool), 5.0, -1.0).astype(np.float32)
+    s = jnp.asarray([[0]], jnp.int8)
+    t = jnp.asarray([[0, 1, 2]], jnp.int8)
+    with pytest.raises(ValueError, match="go <= 0"):
+        banded_dp(s, t, jnp.asarray([1], jnp.int32),
+                  jnp.asarray([3], jnp.int32), jnp.asarray([-4], jnp.int32),
+                  W=8, subst=subst, go=1.0, ge=-1.0, flags=ModeFlags())
