@@ -155,7 +155,33 @@ def _band_shard_fn(s_codes, t2, s_lens, t_lens, dmax, w_eff, subst,
         corner = jnp.where(i == s_lens, cval, corner)
         return (H, F_new, best, corner), None
 
-    init = (H0, F0, jnp.full((B,), NEG), jnp.full((B,), NEG))
+    # row 0 can hold alignment ends (same reasoning as the unsharded
+    # engines: the scan starts at i=1, but H0's cells — the j == tlen
+    # ray at i=0, local zero cells, the corner when s_lens == 0 — are
+    # part of the matrix); pmax at the end combines the per-shard seeds
+    cell_valid0 = (j0 >= 0) & (j0 <= tlen_c) & (karange < weff_c)
+    H0m = jnp.where(cell_valid0, H0, NEG)
+    best0 = jnp.full((B,), NEG)
+    if flags.local_end:
+        best0 = jnp.max(H0m, axis=1)
+    if flags.free_end_edges:
+        kray0 = (t_lens + dmax)[:, None]
+        best0 = jnp.maximum(
+            best0, jnp.max(jnp.where(karange == kray0, H0m, NEG), axis=1)
+        )
+        best0 = jnp.maximum(
+            best0,
+            jnp.where(s_lens == 0, jnp.max(H0m, axis=1), NEG),
+        )
+    corner0 = jnp.where(
+        s_lens == 0,
+        jnp.max(
+            jnp.where(karange == (t_lens + dmax)[:, None], H0m, NEG),
+            axis=1,
+        ),
+        NEG,
+    )
+    init = (H0, F0, best0, corner0)
     (H, F, best, corner), _ = jax.lax.scan(
         step, init, jnp.arange(1, LS + 1, dtype=jnp.int32)
     )

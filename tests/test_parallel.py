@@ -345,3 +345,34 @@ def test_sorted_allvsall_chunked_matches_unchunked(rng):
     )
     for k in ref:
         np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
+
+
+def test_band_sharded_row0_ends(rng):
+    """Degenerate geometry across the sharded row engine: free-end
+    optimum on row 0 and an empty-origin global pair must match the
+    (row-0-aware) unsharded engine."""
+    B, L, W = 2, 8, 64
+    s_codes = np.full((B, L), 2, np.int8)
+    t_codes = np.zeros((B, L), np.int8)
+    s_lens = jnp.asarray([2, 0], jnp.int32)
+    t_lens = jnp.asarray([1, 1], jnp.int32)
+    dmin = jnp.asarray([-32, -32], jnp.int32)
+    w_eff = jnp.asarray([W - 1, W - 1], jnp.int32)
+    subst = np.full((4, 4), -100.0, np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(free_end_edges=True), ModeFlags()):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes), s_lens, t_lens,
+            dmin, W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+            w_eff=w_eff,
+        )
+        with mesh:
+            got = banded_dp_band_sharded(
+                jnp.asarray(s_codes), jnp.asarray(t_codes), s_lens,
+                t_lens, dmin, W=W, subst=subst, go=-2.0, ge=-1.0,
+                flags=flags, mesh=mesh, w_eff=w_eff,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
