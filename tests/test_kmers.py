@@ -165,10 +165,8 @@ def test_snapshot_alphabet_mismatch_rejected(tmp_path):
     KmerIndex(4, A4, path=p).index_kmers(
         [Sequence(A4, (0, 1, 2, 3, 0, 1, 2, 3))]
     )
-    import pytest as _pytest
-    from biseqt_tpu.sequence import Alphabet as _Alph
-    with _pytest.raises(AssertionError, match="alphabet mismatch"):
-        KmerIndex(4, _Alph("TGCA"), path=p)
+    with pytest.raises(AssertionError, match="alphabet mismatch"):
+        KmerIndex(4, Alphabet("TGCA"), path=p)
 
 
 def test_mask_repetitive_persists_to_snapshot(tmp_path):

@@ -112,9 +112,14 @@ def test_extend_segments_shape_grouped(rng):
     assert len(segments) >= 3
     batched = extend_segments(S, T, segments, use_pallas=False,
                               with_transcripts=True)
-    # bucketed cutout shapes must differ (i.e. the batch really grouped)
-    spans = {seg["band_cells"] for seg in batched}
-    assert len(spans) > 1
+    # the BUCKETED cutout shapes must differ (launch grouping keys),
+    # i.e. the batch really split into multiple launches
+    from biseqt_tpu.pipeline import _bucket
+    keys = set()
+    for seg in segments:
+        (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
+        keys.add(_bucket((a_hi - a_lo) // 2 + 1024))  # coarse length proxy
+    assert len(keys) > 1, "geometry no longer exercises multi-group launches"
     for k, seg in enumerate(segments):
         solo = extend_segments(S, T, [seg], use_pallas=False)[0]
         assert batched[k]["score"] == pytest.approx(solo["score"],
