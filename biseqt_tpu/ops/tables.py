@@ -220,36 +220,29 @@ def seed_join_sorted(codes0, len0, codes1, len1, wordlen: int,
 
 
 @partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
+@partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
 def nway_shared_seeds(codes, lengths, wordlen: int, alphabet_len: int = 4):
-    """First-hit N-way seeds: for every k-mer present in ALL N sequences,
-    the tuple of its first occurrence position in each sequence.
+    """Lexicographically (key, seq, pos)-sorted k-mer table over N
+    sequences — the device half of first-hit N-way seed discovery.
 
     The device tier of ``biseqt/seeds.py — SeedIndexMultiple``: one
-    global radix sort of the (key, seq, pos) table over all N sequences,
-    run boundaries, and a scatter-min of positions into a [runs, N]
-    matrix — no Python dict/cross-product loops.  Memory is O(N^2 L)
-    int32 (the [N*L, N] position matrix), fine for N ~ 10 x 100 kbp.
+    global radix sort over all N sequences' (key, seq, pos) triples.
+    The consumer (``seeds.SeedIndexMultiple._build_device``) finishes
+    with vectorized host grouping: within a key run, the first entry of
+    each seq subgroup is that sequence's first occurrence, and runs
+    touching all N sequences are the shared seeds.
 
-    Returns ``(pos_mat int32 [N*L, N], shared bool [N*L])``: row r of
-    ``pos_mat`` holds run r's first position per sequence (dense run
-    index; unused tail rows stay BIG); ``shared[r]`` marks real (non-
-    sentinel) runs whose k-mer occurs in all N sequences.  Host callers
-    compact ``pos_mat[shared]``.
+    (A previous design scatter-minned positions into a [runs, N] device
+    matrix — XLA scatters serialize on TPU, and the ~N*L-update scatter
+    alone cost ~50 s at 10 x 100 kbp.  The sort is milliseconds.)
+
+    Returns ``(keys, seqs, poss)`` int32 arrays, sentinel keys sorted to
+    the tail.
     """
-    N, L = codes.shape
     keys, seqs, poss, _ = build_kmer_table(
         codes, lengths, wordlen, alphabet_len
     )
-    M = keys.shape[0]
-    _, run_id = run_boundaries(keys)
-    BIG = jnp.int32(2 ** 30)
-    pos_mat = jnp.full((M, N), BIG, jnp.int32)
-    pos_mat = pos_mat.at[run_id, seqs].min(
-        jnp.where(keys != KEY_SENTINEL, poss, BIG)
-    )
-    present_all = jnp.all(pos_mat < BIG, axis=1)
-    real_run = jnp.zeros((M,), bool).at[run_id].max(keys != KEY_SENTINEL)
-    return pos_mat, present_all & real_run
+    return jax.lax.sort((keys, seqs, poss), num_keys=3)
 
 
 def run_boundaries(sorted_keys):

@@ -263,15 +263,36 @@ class SeedIndexMultiple:
             )
 
     def _build_device(self):
-        """One global radix sort + scatter-min: first-hit N-way seeds."""
-        from .ops.tables import nway_shared_seeds
+        """One global radix sort + vectorized host grouping: first-hit
+        N-way seeds (no scatter — XLA scatters serialize on TPU)."""
+        from .ops.tables import nway_shared_seeds, KEY_SENTINEL
 
         codes, lengths = pack_sequences(list(self.seqs))
-        pos_mat, shared = nway_shared_seeds(
+        kk, ss, pp = (np.asarray(x) for x in nway_shared_seeds(
             jnp.asarray(codes), jnp.asarray(lengths),
             self.wordlen, len(self.alphabet),
-        )
-        rows = np.asarray(pos_mat)[np.asarray(shared)]
+        ))
+        valid = kk != KEY_SENTINEL
+        kk, ss, pp = kk[valid], ss[valid], pp[valid]
+        N = len(self.seqs)
+        if kk.size == 0:
+            self._seeds = []
+            return
+        # first entry of each (key, seq) subgroup = that sequence's
+        # first occurrence (the table is (key, seq, pos)-sorted)
+        fp = np.empty(kk.shape, bool)
+        fp[0] = True
+        fp[1:] = (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])
+        k_fp, p_fp = kk[fp], pp[fp]
+        # key groups among the first-pair rows; groups of size N touch
+        # every sequence (seq ids are distinct and sorted within a key)
+        gs = np.empty(k_fp.shape, bool)
+        gs[0] = True
+        gs[1:] = k_fp[1:] != k_fp[:-1]
+        starts = np.flatnonzero(gs)
+        sizes = np.diff(np.append(starts, len(k_fp)))
+        sel = starts[sizes == N]
+        rows = p_fp[sel[:, None] + np.arange(N)[None, :]]
         self._seeds = sorted(tuple(int(x) for x in r) for r in rows)
 
     def _build_host(self, max_hits_per_kmer: int):
