@@ -267,7 +267,10 @@ class SeedIndexMultiple:
         N-way seeds (no scatter — XLA scatters serialize on TPU)."""
         from .ops.tables import nway_shared_seeds, KEY_SENTINEL
 
-        codes, lengths = pack_sequences(list(self.seqs))
+        # bucket the padded shape: exact-max padding would make every
+        # distinct input set a distinct (minutes-long remote) compile
+        pad = _shape_bucket(max(len(s) for s in self.seqs))
+        codes, lengths = pack_sequences(list(self.seqs), pad_to=pad)
         kk, ss, pp = (np.asarray(x) for x in nway_shared_seeds(
             jnp.asarray(codes), jnp.asarray(lengths),
             self.wordlen, len(self.alphabet),
