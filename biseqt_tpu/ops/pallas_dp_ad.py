@@ -518,8 +518,16 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     dminq = dmin_p + up                     # dmin' (parity p)
 
     Apad = _round_up(LS + LT + 2, r_chunk)
-    SLEN = Apad + W                          # also even (both 128-mults)
-    Mlen = SLEN // 2
+    # the half-stream ring must cover the LONGER sequence too: with
+    # skewed lengths ((Apad + W)/2 < max(LS, LT)) the modular roll in
+    # _shift_stream would serve wrapped characters under a passing
+    # validity mask — silently wrong scores exactly when a short read
+    # bands deep into a long reference (repro: T = S[481:581] of a
+    # 600-char S at dmin=480 scored 9 instead of 100).  The flip-side
+    # t addressing shifts by the extra half-slots (delta below).
+    Mlen = _round_up(max((Apad + W) // 2, LS, LT), 128)
+    SLEN = 2 * Mlen
+    delta = Mlen - (Apad + W) // 2
 
     # interleaved streams: SI[z] = S_{z%2}[(z + dmin')/2 - 1] etc.
     s_shift = jnp.where(pair_id == 0, dminq // 2 - 1,
@@ -527,7 +535,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     # the t stream is indexed by x = u + W (u = a - k can reach -(W-1)),
     # so its per-pair shift carries an extra -W/2 half-slots
     t_shift = jnp.where(pair_id == 0, -(dminq // 2) - 1,
-                        (1 - dminq) // 2 - 1) - (W // 2)
+                        (1 - dminq) // 2 - 1) - (W // 2) - delta
     s_half = _shift_stream(s_codes.astype(jnp.int8), s_shift, s_lens_p,
                            Mlen, PAD_S)
     t_half = _shift_stream(t_codes.astype(jnp.int8), t_shift, t_lens_p,

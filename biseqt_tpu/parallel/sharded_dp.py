@@ -29,6 +29,7 @@ from jax import shard_map
 
 from ..ops.banded_dp import (
     NEG, ModeFlags, shift_lanes, prefix_max, _subst_lookup, _init_row,
+    _check_gap_scores,
 )
 from .mesh import BAND_AXIS
 
@@ -204,8 +205,11 @@ def banded_dp_band_sharded(s_codes, t_codes, s_lens, t_lens, dmin, *,
 
     Same inputs as :func:`biseqt_tpu.ops.banded_dp.banded_dp`; returns the
     per-pair score vector (score mode).  ``W`` must divide evenly by the
-    band-axis size.
+    band-axis size.  Inputs are REPLICATED over the data axis (this
+    engine exists for giant single pairs; batch parallelism belongs to
+    the data-axis engines).
     """
+    _check_gap_scores(go, ge)
     nb = mesh.shape[BAND_AXIS]
     assert W % nb == 0, "W must divide by band-axis size"
     Wl = W // nb

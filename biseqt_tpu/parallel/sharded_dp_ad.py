@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..ops.banded_dp import NEG, ModeFlags, shift_lanes
+from ..ops.banded_dp import NEG, ModeFlags, shift_lanes, \
+    _check_gap_scores
 from ..ops.pallas_dp_ad import _shift_stream, PAD_S, PAD_T
 from .mesh import BAND_AXIS
 
@@ -83,9 +84,16 @@ def _band_shard_ad_fn(s_exp, t_flip, s_lens, t_lens, dmin, w_eff, subst,
     subst = subst.astype(jnp.float32)
 
     def sub_score(s_win, t_win):
-        val = subst[
-            jnp.clip(s_win, 0, A - 1), jnp.clip(t_win, 0, A - 1)
-        ]
+        # small-table selects, not a gather: XLA gathers are ~3x a whole
+        # DP kernel on TPU (CLAUDE.md) and this runs every antidiagonal
+        s_c = jnp.clip(s_win, 0, A - 1)
+        t_c = jnp.clip(t_win, 0, A - 1)
+        val = jnp.zeros(t_win.shape, jnp.float32)
+        for a in range(A):
+            row = jnp.full(t_win.shape, subst[a, 0], jnp.float32)
+            for bb in range(1, A):
+                row = jnp.where(t_c == bb, subst[a, bb], row)
+            val = jnp.where(s_c == a, row, val)
         # pads never match; poison so off-matrix cells only decay
         return jnp.where((s_win < 0) | (t_win < 0), jnp.float32(-1.0), val)
 
@@ -181,7 +189,6 @@ def _band_shard_ad_fn(s_exp, t_flip, s_lens, t_lens, dmin, w_eff, subst,
     # extract: interior lanes only (halo trackers are the neighbors'
     # business), clamp dead-lane accumulation back to NEG
     score = jnp.max(jnp.where(interior, M, NEG), axis=1)
-    score = jnp.maximum(score, NEG)
     return jax.lax.pmax(score, BAND_AXIS)
 
 
@@ -196,12 +203,15 @@ def banded_dp_band_sharded_ad(s_codes, t_codes, s_lens, t_lens, dmin, *,
     """Banded DP, band axis sharded, antidiagonal iteration (score mode).
 
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp` (score
-    only).  ``W`` must divide by the band-axis size; ``w_eff <= W - 1``
-    is enforced (the dead-lane safety margin, as in the single-chip
-    antidiagonal kernel).  ``halo`` = C, the steps between neighbor
-    exchanges (communication = 2 nearest-neighbor sends of
-    [4, B, C] floats per C antidiagonal steps).
+    only, full ``w_eff <= W`` supported — no dual-pair parity margin in
+    this engine).  ``W`` must divide by the band-axis size.  Inputs are
+    REPLICATED over the data axis: this engine exists for giant single
+    pairs; batch parallelism belongs to the data-axis engines.
+    ``halo`` = C, the steps between neighbor exchanges (communication =
+    2 nearest-neighbor sends of [4, B, C] floats per C antidiagonal
+    steps).
     """
+    _check_gap_scores(go, ge)
     nb = mesh.shape[BAND_AXIS]
     assert W % nb == 0, "W must divide by band-axis size"
     Wl = W // nb
@@ -212,8 +222,11 @@ def banded_dp_band_sharded_ad(s_codes, t_codes, s_lens, t_lens, dmin, *,
     t_lens = t_lens.astype(jnp.int32)
     dmin = dmin.astype(jnp.int32)
     if w_eff is None:
-        w_eff = jnp.full((B,), W - 1, jnp.int32)
-    w_eff = jnp.minimum(w_eff.astype(jnp.int32), W - 1)
+        w_eff = jnp.full((B,), W, jnp.int32)
+    # full W allowed: this engine has no dual-pair parity packing (the
+    # odd sublattice is masked dead), and its lane shifts use NEG-filled
+    # shift_lanes, not circular rolls — no dead-lane margin needed
+    w_eff = jnp.minimum(w_eff.astype(jnp.int32), W)
 
     # steps 0..LS+LT inclusive (corner cell sits at a = sl + tl),
     # rounded up to whole halo chunks
@@ -228,7 +241,11 @@ def banded_dp_band_sharded_ad(s_codes, t_codes, s_lens, t_lens, dmin, *,
     #     s_exp[x]  = S[(x - C + dmin)/2 - 1]  = rep2(S)[x + dmin - 2 - C]
     #     t_flip[x] = T[((Apad + C - x) - dmin)/2 - 1]
     #               = flip(rep2(T)[y - dmin - W'..])  (see t_tmp shift)
-    Zs = Apad + W + 2 * C   # max slice offset + Wle must fit (no clamping)
+    # ring length: must fit the max slice offset + Wle AND the longest
+    # 2x-repeated sequence — a shorter ring would serve modular-wrapped
+    # characters under a passing validity mask at skewed lengths (same
+    # bug class as the single-chip kernel's half-stream ring)
+    Zs = max(Apad + W + 2 * C, 2 * LS + 2, 2 * LT + 2)
     rep2s = jnp.repeat(s_codes.astype(jnp.int8), 2, axis=1)
     rep2t = jnp.repeat(t_codes.astype(jnp.int8), 2, axis=1)
     s_exp = _shift_stream(rep2s, dmin - 2 - C, 2 * s_lens, Zs, PAD_S)

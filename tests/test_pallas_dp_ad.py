@@ -178,3 +178,31 @@ def test_ad_kernel_row0_and_empty_origin(rng):
             flags=flags, **kw
         ).score)[0])
         assert got == pytest.approx(want), (sl_v, flags)
+
+
+def test_ad_kernel_skewed_lengths(rng):
+    """LS >> LT with the band deep into S (large positive dmin): the
+    half-stream ring must cover the longer sequence — a ring of
+    (Apad+W)/2 wraps and serves S[0]-region characters where S[480+]
+    belongs (historical repro: scored 9 instead of 100)."""
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = jnp.asarray([600], jnp.int32)
+    tl = jnp.asarray([100], jnp.int32)
+    w_eff = jnp.asarray([127], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    for dmin_v, flags in (
+        (480, ModeFlags(local_start=True, local_end=True)),
+        (480, ModeFlags(free_start_edges=True, free_end_edges=True)),
+    ):
+        dmin = jnp.asarray([dmin_v], jnp.int32)
+        kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                  w_eff=w_eff)
+        ref = np.asarray(banded_dp(jnp.asarray(S), jnp.asarray(T), sl,
+                                   tl, dmin, **kw).score)
+        got = np.asarray(banded_dp_pallas_ad(
+            jnp.asarray(S), jnp.asarray(T), sl, tl, dmin,
+            interpret=True, block_b=8, r_chunk=16, **kw).score)
+        np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
+        assert ref[0] > 90  # the planted diagonal is in band

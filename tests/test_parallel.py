@@ -376,3 +376,47 @@ def test_band_sharded_row0_ends(rng):
             np.asarray(got), np.asarray(ref.score), atol=1e-3,
             err_msg=str(flags),
         )
+
+
+def test_band_sharded_ad_skewed_lengths(rng):
+    """Sharded AD engine at skewed lengths / large positive dmin (the
+    char-stream ring wrap repro) and with the full-W default w_eff."""
+    from biseqt_tpu.parallel.sharded_dp_ad import banded_dp_band_sharded_ad
+
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = jnp.asarray([600], jnp.int32)
+    tl = jnp.asarray([100], jnp.int32)
+    dmin = jnp.asarray([480], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    flags = ModeFlags(local_start=True, local_end=True)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags)
+    ref = banded_dp(jnp.asarray(S), jnp.asarray(T), sl, tl, dmin,
+                    w_eff=jnp.asarray([127], jnp.int32), **kw)
+    with mesh:
+        got = banded_dp_band_sharded_ad(
+            jnp.asarray(S), jnp.asarray(T), sl, tl, dmin, mesh=mesh,
+            w_eff=jnp.asarray([127], jnp.int32), halo=16, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.score),
+                               atol=1e-3)
+    assert float(np.asarray(ref.score)[0]) > 90
+
+    # default w_eff covers the FULL W in this engine (no parity margin):
+    # global corner on the bottom diagonal d = dmin must be reachable
+    L2 = 64
+    eq = np.zeros((1, L2), np.int8)
+    lens2 = jnp.asarray([L2], jnp.int32)
+    dmin0 = jnp.asarray([0], jnp.int32)
+    ref2 = banded_dp(jnp.asarray(eq), jnp.asarray(eq), lens2, lens2,
+                     dmin0, W=128, subst=subst, go=-2.0, ge=-1.0,
+                     flags=ModeFlags(),
+                     w_eff=jnp.asarray([128], jnp.int32))
+    with mesh:
+        got2 = banded_dp_band_sharded_ad(
+            jnp.asarray(eq), jnp.asarray(eq), lens2, lens2, dmin0,
+            W=128, subst=subst, go=-2.0, ge=-1.0, flags=ModeFlags(),
+            mesh=mesh, halo=16)
+    assert float(np.asarray(got2)[0]) == pytest.approx(
+        float(np.asarray(ref2.score)[0])) == pytest.approx(64.0)
