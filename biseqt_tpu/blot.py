@@ -246,7 +246,12 @@ class WordBlot:
             n = self.seed_index.seed_count(
                 d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
             )
-            seglen = (a_hi - a_lo + 1) / 2.0
+            # clamp to the real maximum alignment length: the
+            # cell-quantized a-range can exceed min(|S|, |T|),
+            # deflating p-hat and rejecting true segments at high
+            # p_min (score_seeds already clamps the same way)
+            seglen = min((a_hi - a_lo + 1) / 2.0,
+                         float(min(len(self.S), len(self.T))))
             if seglen < K_min:
                 continue
             area = (d_hi - d_lo + 1) * seglen
@@ -338,7 +343,9 @@ class WordBlot:
             n = self.seed_index.seed_count(
                 d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
             )
-            seglen = max((a_hi - a_lo + 1) / 2.0, 1.0)
+            seglen = max(min((a_hi - a_lo + 1) / 2.0,
+                             float(min(len(self.S), len(self.T)))),
+                         1.0)
             if seglen < K_min:
                 continue
             p_hat = self.estimate_match_probability(n, seglen)
@@ -367,7 +374,8 @@ class WordBlot:
         n = self.seed_index.seed_count(
             d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
         )
-        seglen = max((a_hi - a_lo + 1) / 2.0, 1.0)
+        seglen = max(min((a_hi - a_lo + 1) / 2.0,
+                         float(min(len(self.S), len(self.T)))), 1.0)
         p_hat = self.estimate_match_probability(n, seglen)
         s0, s1 = self.score_num_seeds(
             n, (d_hi - d_lo + 1) * seglen, seglen, max(p_hat, 1e-3)
@@ -406,23 +414,11 @@ class WordBlotOverlap(WordBlot):
         Returns ``{'d_band': (d_lo, d_hi), 'p': p̂, 'score': (S0, S1),
         'expected_len': K_d}`` or None if no significant overlap exists.
         """
-        ls, lt = len(self.S), len(self.T)
-        counts = self.seed_index.seed_count_by_d_()
-        if counts.sum() == 0:
+        prof = self._band_profile()
+        if prof is None:
             return None
-        diags = np.arange(counts.shape[0]) - lt  # true d per bin
-        K_d = expected_overlap_len(ls, lt, diags, self.g_max)
-        r_d = band_radius(np.maximum(K_d, 2), self.g_max, self.sensitivity)
-        # sliding band sums with the max radius window; per-band scoring
-        # then uses that window's own area so the statistics stay honest
-        r_max = int(r_d.max())
-        sums = np.asarray(blot_stats.sliding_band_sums(
-            jnp.asarray(counts, jnp.int32), jnp.int32(r_max)
-        )).astype(float)
+        diags, K_d, r_d, r_max, sums, p_hat = prof
         seglen = np.maximum(K_d, 1).astype(float)
-        p_hat = np.asarray(blot_stats.estimate_match_probability(
-            sums, seglen, self.wordlen
-        ))
         area = (2.0 * r_max + 1) * seglen
         s0, s1 = blot_stats.h0_h1_scores(
             sums, area, seglen, np.maximum(p_hat, 1e-3), self.wordlen,
@@ -442,25 +438,68 @@ class WordBlotOverlap(WordBlot):
             "expected_len": int(K_d[best]),
         }
 
-    def overlap_profile(self):
-        """(diags, p̂ per diagonal band) for inspection/benchmarks."""
+    def _band_profile(self):
+        """Shared per-diagonal band statistics: (diags, K_d, r_d, r_max,
+        sums, p̂), or None for a seedless pair — one implementation for
+        both the winner selection and the inspection profile."""
         ls, lt = len(self.S), len(self.T)
         counts = self.seed_index.seed_count_by_d_()
-        diags = np.arange(counts.shape[0]) - lt
+        if counts.sum() == 0:
+            return None
+        diags = np.arange(counts.shape[0]) - lt  # true d per bin
         K_d = expected_overlap_len(ls, lt, diags, self.g_max)
-        r_max = int(band_radius(max(int(K_d.max()), 2), self.g_max,
-                                self.sensitivity))
+        r_d = band_radius(np.maximum(K_d, 2), self.g_max, self.sensitivity)
+        # sliding band sums with the max radius window; per-band scoring
+        # then uses that window's own area so the statistics stay honest
+        r_max = int(r_d.max())
         sums = np.asarray(blot_stats.sliding_band_sums(
             jnp.asarray(counts, jnp.int32), jnp.int32(r_max)
-        ))
+        )).astype(float)
         p_hat = np.asarray(blot_stats.estimate_match_probability(
-            sums.astype(float), np.maximum(K_d, 1).astype(float),
-            self.wordlen,
+            sums, np.maximum(K_d, 1).astype(float), self.wordlen
         ))
+        return diags, K_d, r_d, r_max, sums, p_hat
+
+    def overlap_profile(self):
+        """(diags, p̂ per diagonal band) for inspection/benchmarks."""
+        prof = self._band_profile()
+        if prof is None:
+            counts = self.seed_index.seed_count_by_d_()
+            return (np.arange(counts.shape[0]) - len(self.T),
+                    np.zeros(counts.shape[0]))
+        diags, _, _, _, _, p_hat = prof
         return diags, p_hat
 
 
-class WordBlotOverlapRef:
+class _FixedRefBase:
+    """Shared machinery for the fixed-reference modes: one k-mer index
+    of the reference (dict of sorted position lists), plus an adapter
+    that dresses a per-query seed view up as a WordBlot-family object —
+    one implementation, so index policy changes cannot diverge between
+    the overlap and local variants."""
+
+    def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
+                 sensitivity: float = 0.99):
+        self.ref = ref
+        self.wordlen = int(wordlen)
+        self.g_max = float(g_max)
+        self.sensitivity = float(sensitivity)
+        self._index = {}
+        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
+            self._index.setdefault(km, []).append(pos)
+
+    def _as_wordblot(self, cls, query: Sequence):
+        wb = cls.__new__(cls)
+        wb.S, wb.T = query, self.ref
+        wb.wordlen = self.wordlen
+        wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
+        wb.seed_index = _SeedsFromRefIndex(
+            query, self.ref, self.wordlen, self._index
+        )
+        return wb
+
+
+class WordBlotOverlapRef(_FixedRefBase):
     """Overlap detection of many queries against one fixed read.
 
     Equivalent of ``biseqt/blot.py — WordBlotOverlapRef``: the reference
@@ -468,48 +507,23 @@ class WordBlotOverlapRef:
     stream through in O(|query| + hits).
     """
 
-    def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
-                 sensitivity: float = 0.99):
-        self.ref = ref
-        self.wordlen = int(wordlen)
-        self.g_max = float(g_max)
-        self.sensitivity = float(sensitivity)
-        self._index = {}
-        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
-            self._index.setdefault(km, []).append(pos)
-
     def highest_scoring_overlap_band(self, query: Sequence, **kw):
-        wb = WordBlotOverlap.__new__(WordBlotOverlap)
-        wb.S, wb.T = query, self.ref
-        wb.wordlen = self.wordlen
-        wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
-        wb.seed_index = _SeedsFromRefIndex(
-            query, self.ref, self.wordlen, self._index
-        )
-        return wb.highest_scoring_overlap_band(**kw)
+        return self._as_wordblot(
+            WordBlotOverlap, query
+        ).highest_scoring_overlap_band(**kw)
 
 
 # ---------------------------------------------------------------------------
 # Fixed-reference mode
 # ---------------------------------------------------------------------------
 
-class WordBlotLocalRef:
+class WordBlotLocalRef(_FixedRefBase):
     """Many queries against one fixed reference, index built once.
 
     Equivalent of ``biseqt/blot.py — WordBlotLocalRef``: the reference's
     k-mer positions are indexed up front (dict of sorted position lists);
     each query streams through in O(|query| + hits).
     """
-
-    def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
-                 sensitivity: float = 0.99):
-        self.ref = ref
-        self.wordlen = int(wordlen)
-        self.g_max = float(g_max)
-        self.sensitivity = float(sensitivity)
-        self._index = {}
-        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
-            self._index.setdefault(km, []).append(pos)
 
     def similar_segments(self, query: Sequence, K_min: int, p_min: float,
                          **kw):
@@ -518,14 +532,9 @@ class WordBlotLocalRef:
         Runs the same band statistics as :class:`WordBlot` but enumerates
         seeds from the prebuilt reference index.
         """
-        wb = WordBlot.__new__(WordBlot)
-        wb.S, wb.T = query, self.ref
-        wb.wordlen = self.wordlen
-        wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
-        wb.seed_index = _SeedsFromRefIndex(
-            query, self.ref, self.wordlen, self._index
+        return self._as_wordblot(WordBlot, query).similar_segments(
+            K_min, p_min, **kw
         )
-        return wb.similar_segments(K_min, p_min, **kw)
 
 
 class _SeedsFromRefIndex(SeedIndex):
@@ -604,8 +613,37 @@ class WordBlotMultiple:
             ds = tuple((i0 - p) // max(r, 1) for p in tup[1:])
             a = i0 + tup[1]
             buckets.setdefault(ds, []).append((tup, a))
+        # merge buckets whose diagonal tuples are axis-neighbors: an
+        # alignment whose pivot diagonal drifts across a cell boundary
+        # mid-segment (expected — the drift scale IS r by construction)
+        # would otherwise split into sub-K_min fragments and be silently
+        # missed (the pairwise paths merge neighbors via 3x3 labeling /
+        # the sparse c±1 union; this is the N-way analog)
+        parent = {ds: ds for ds in buckets}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ds in list(buckets):
+            for axis in range(len(ds)):
+                nb = ds[:axis] + (ds[axis] + 1,) + ds[axis + 1:]
+                if nb in buckets:
+                    ra, rb = find(ds), find(nb)
+                    if ra != rb:
+                        parent[rb] = ra
+        clusters: Dict[tuple, dict] = {}
         for ds, members in buckets.items():
-            members.sort(key=lambda m: m[1])
+            c = clusters.setdefault(find(ds), {"members": [], "cells": []})
+            c["members"].extend(members)
+            c["cells"].append(ds)
+
+        max_cols = float(min(len(s) for s in self.seqs))
+        rr = max(r, 1)
+        for c in clusters.values():
+            members = sorted(c["members"], key=lambda m: m[1])
             # split into antidiagonal runs with gaps > 2*acell
             run = [members[0]]
             runs = []
@@ -617,7 +655,8 @@ class WordBlotMultiple:
             runs.append(run)
             for run in runs:
                 a_lo, a_hi = run[0][1], run[-1][1]
-                seglen = max((a_hi - a_lo) / 2.0, float(self.wordlen))
+                seglen = max(min((a_hi - a_lo) / 2.0, max_cols),
+                             float(self.wordlen))
                 if seglen < K_min:
                     continue
                 n = len(run)
@@ -625,8 +664,9 @@ class WordBlotMultiple:
                 if p_hat < p_min:
                     continue
                 d_bands = tuple(
-                    (d * max(r, 1) - r, (d + 1) * max(r, 1) + r)
-                    for d in ds
+                    (min(ds[ax] for ds in c["cells"]) * rr - r,
+                     (max(ds[ax] for ds in c["cells"]) + 1) * rr + r)
+                    for ax in range(len(c["cells"][0]))
                 )
                 yield {
                     "segment": (d_bands, (int(a_lo), int(a_hi))),

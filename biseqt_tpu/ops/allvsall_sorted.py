@@ -190,17 +190,27 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     # rank rows by background-corrected excess (a gather-free significance
     # proxy: raw counts favor long bands whose larger background explains
     # their seeds): excess = n - E[bg] - 3*sqrt(E[bg])
+    # REAL per-pair lengths, not the padded L: with mixed-length reads
+    # the padded geometry over-subtracts background unevenly across
+    # diagonals and can crown the wrong band for short reads
+    lens_f = lengths.astype(jnp.float32)
+    qlen_r = jnp.take(lens_f, q_lo + pair_id // N)
+    tlen_r = jnp.take(lens_f, pair_id % N)
+    d_r = (dbin * bucket + bucket // 2 - L).astype(jnp.float32)
     seglen_row = jnp.maximum(
-        jnp.float32(L) - jnp.abs(
-            (dbin * bucket + bucket // 2 - L).astype(jnp.float32)
-        ),
+        jnp.minimum(jnp.minimum(qlen_r - d_r, tlen_r + d_r),
+                    jnp.minimum(qlen_r, tlen_r)),
         1.0,
     )
     bg = 3.0 * bucket * seglen_row * (
         jnp.float32(alphabet_len) ** jnp.float32(-wordlen)
     )
     excess = window.astype(jnp.float32) - bg - 3.0 * jnp.sqrt(bg + 1.0)
-    rank_q = jnp.clip((excess * 16.0), 0, 2 ** 22).astype(jnp.int32)
+    # the encoded (rank, dbin) pair must fit int32: cap the rank so
+    # rank_cap * nbins + nbins < 2^31 (a 2^22 cap overflowed for
+    # nbins >= 512 — near-duplicate long reads returned garbage bands)
+    rank_cap = min(2 ** 22, (2 ** 31 - 1) // max(int(nbins), 1) - 1)
+    rank_q = jnp.clip((excess * 16.0), 0, rank_cap).astype(jnp.int32)
     # winning bucket: segment_max over encoded (rank, dbin); the winner's
     # window count is reconstructed from its rank + that bucket's
     # background (1/16-count quantization — immaterial downstream)
@@ -212,10 +222,13 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     best_enc = jnp.maximum(best_enc, 0)
     best_bin = best_enc % nbins
     best_rank = (best_enc // nbins).astype(jnp.float32) / 16.0
+    pid_all = jnp.arange(n_pairs, dtype=jnp.int32)
+    qlen_b = jnp.take(lens_f, q_lo + pid_all // N)
+    tlen_b = jnp.take(lens_f, pid_all % N)
+    d_b = (best_bin * bucket + bucket // 2 - L).astype(jnp.float32)
     seglen_best = jnp.maximum(
-        jnp.float32(L) - jnp.abs(
-            (best_bin * bucket + bucket // 2 - L).astype(jnp.float32)
-        ),
+        jnp.minimum(jnp.minimum(qlen_b - d_b, tlen_b + d_b),
+                    jnp.minimum(qlen_b, tlen_b)),
         1.0,
     )
     bg_best = 3.0 * bucket * seglen_best * (

@@ -420,3 +420,26 @@ def test_band_sharded_ad_skewed_lengths(rng):
             mesh=mesh, halo=16)
     assert float(np.asarray(got2)[0]) == pytest.approx(
         float(np.asarray(ref2.score)[0])) == pytest.approx(64.0)
+
+
+def test_sorted_allvsall_large_nbins_no_overflow(rng):
+    """Near-duplicate long reads with a small diagonal bucket push the
+    (rank, dbin) encoding past int32 without the rank cap (historical
+    repro: garbage diag/p for identical reads at nbins >= 512)."""
+    from biseqt_tpu.ops.allvsall_sorted import overlap_stats_sorted
+
+    L = 4096
+    reads = np.tile(rng.integers(0, 4, L, dtype=np.int8), (4, 1))
+    lens = jnp.asarray(np.full((4,), L, np.int32))
+    st = overlap_stats_sorted(
+        jnp.asarray(reads), lens, wordlen=10, n_reads=4, bucket=8,
+        max_run=4,
+    )
+    diag = np.asarray(st["diag"])
+    p = np.asarray(st["p"])
+    for q in range(4):
+        for t in range(4):
+            if q == t:
+                continue
+            assert abs(int(diag[q, t])) <= 16, (q, t, diag[q, t])
+            assert p[q, t] > 0.8, (q, t, p[q, t])
