@@ -32,7 +32,7 @@ def main():
 
     B, L, BW = 4096, 10240, 100
     W = 128
-    block_b = 256
+    block_b = 128
     subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
     kw = dict(W=W, subst=subst, go=-2.0, ge=-1.0,
               flags=ModeFlags(local_start=True, local_end=True),

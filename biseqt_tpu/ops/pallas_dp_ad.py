@@ -429,7 +429,7 @@ def _shift_stream(codes, shifts, valid_len, out_len, pad):
 
 def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         subst, go: float, ge: float, flags: ModeFlags,
-                        w_eff=None, A: int = 4, block_b: int = 256,
+                        w_eff=None, A: int = 4, block_b: int = 128,
                         interpret: bool = False, r_chunk: int = _R,
                         with_dirs: bool = False, _strip: int = 0):
     """Antidiagonal dual-pair banded DP.

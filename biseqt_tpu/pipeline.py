@@ -159,7 +159,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             # shrink the tile to the actual batch (the default 256-row
             # tile would round a handful of megabase segments up to 512)
             extra = {"with_dirs": with_transcripts,
-                     "block_b": min(256, max(8, -(-((n_pad + 1) // 2) // 8) * 8))}
+                     "block_b": min(128, max(8, -(-((n_pad + 1) // 2) // 8) * 8))}
         else:
             fn = banded_dp
             extra = {"with_dirs": with_transcripts}
