@@ -55,7 +55,10 @@ def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
             line_start = offset
             offset += len(line)
             if isinstance(line, bytes):
-                line = line.decode("ascii")
+                # lenient decode: headers are metadata and may carry
+                # non-ASCII description bytes; sequence letters are
+                # validated downstream by the alphabet parse anyway
+                line = line.decode("ascii", "replace")
             line_s = line.strip()
             if line_s.startswith(">"):
                 if name is not None:

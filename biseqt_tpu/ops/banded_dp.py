@@ -425,9 +425,11 @@ def _banded_dp_jit(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
 # full-matrix scan (STD_MODE)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("flags", "with_dirs"))
 def full_dp(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
             flags: ModeFlags, with_dirs: bool = False):
+    # NOT jitted: go/ge must still be concrete here for the guard (a
+    # jitted wrapper would trace them, float() would raise, and the
+    # guard's try/except would silently swallow the violation)
     _check_gap_scores(go, ge)
     return _full_dp_jit(
         s_codes, t_codes, s_lens, t_lens, subst=subst, go=go, ge=ge,

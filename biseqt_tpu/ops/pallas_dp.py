@@ -103,6 +103,10 @@ def _kernel(dmax_ref, slen_ref, tlen_ref, weff_ref, subst_ref,
         best0_vec = H0
     elif flags.free_end_edges:
         best0_vec = jnp.where(karange == tlen + dmax, H0, NEG)
+        # the i == slen 'any j' ray includes row 0 when s_lens == 0
+        best0_vec = jnp.maximum(
+            best0_vec, jnp.where(slen == 0, H0, NEG)
+        )
     else:
         best0_vec = jnp.full((BT, W), NEG)
 

@@ -514,8 +514,8 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     # the effective band is the top w_eff diagonals, so dropping the
     # bottom lane is free (requires w_eff <= W - 1).
     pair_id = jnp.arange(Bp, dtype=jnp.int32) % 2
-    up = jnp.mod(pair_id - dmin_p, 2)       # in {0, 1}
-    dminq = dmin_p + up                     # dmin' (parity p)
+    dminq = parity_adjusted_dmin(dmin_p, pair_id)   # dmin' (parity p)
+    up = dminq - dmin_p                             # in {0, 1}
 
     Apad = _round_up(LS + LT + 2, r_chunk)
     # the half-stream ring must cover the LONGER sequence too: with

@@ -220,7 +220,6 @@ def seed_join_sorted(codes0, len0, codes1, len1, wordlen: int,
 
 
 @partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
-@partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
 def nway_shared_seeds(codes, lengths, wordlen: int, alphabet_len: int = 4):
     """Lexicographically (key, seq, pos)-sorted k-mer table over N
     sequences — the device half of first-hit N-way seed discovery.

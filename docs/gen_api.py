@@ -35,6 +35,7 @@ MODULES = [
     "biseqt_tpu.parallel.mesh",
     "biseqt_tpu.parallel.allvsall",
     "biseqt_tpu.parallel.sharded_dp",
+    "biseqt_tpu.parallel.sharded_dp_ad",
     "biseqt_tpu.parallel.sweep",
     "biseqt_tpu.native",
 ]

@@ -111,9 +111,11 @@ def main():
                   w_eff=w_eff)
         res = banded_dp_pallas_ad(*args, block_b=8, with_dirs=True, **kw)
         sc = np.asarray(res.score)
-        pairb = np.arange(B, dtype=np.int32) % 2
-        dmin_np = np.asarray(dmin)
-        dminq = dmin_np + (pairb - dmin_np) % 2
+        from biseqt_tpu.ops.pallas_dp_ad import parity_adjusted_dmin
+
+        dminq = parity_adjusted_dmin(
+            np.asarray(dmin), np.arange(B, dtype=np.int32) % 2
+        )
         ops_l, si_l, sj_l = native.traceback_batch_ad(
             np.asarray(res.dirs), dminq, ss, ts,
             np.asarray(lens), np.asarray(lens),

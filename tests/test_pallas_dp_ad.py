@@ -9,7 +9,8 @@ import pytest
 import jax.numpy as jnp
 
 from biseqt_tpu.ops.banded_dp import banded_dp, ModeFlags
-from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
+from biseqt_tpu.ops.pallas_dp_ad import (banded_dp_pallas_ad,
+                                         parity_adjusted_dmin)
 
 FLAG_CASES = [
     ModeFlags(local_start=True, local_end=True),
@@ -107,8 +108,7 @@ def test_ad_kernel_dirs_transcripts(rng, flags):
 
     ss, ts, s_lens, t_lens, dmin = [np.asarray(a) for a in args]
     B = ss.shape[0]
-    pair = np.arange(B, dtype=np.int32) % 2
-    dminq = dmin + (pair - dmin) % 2
+    dminq = parity_adjusted_dmin(dmin, np.arange(B, dtype=np.int32) % 2)
     ops, si, sj = native.traceback_batch_ad(
         np.asarray(res.dirs), dminq, ss, ts, s_lens, t_lens,
         np.asarray(res.end_i), np.asarray(res.end_j), flags,
