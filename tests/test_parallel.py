@@ -403,16 +403,18 @@ def test_band_sharded_ad_skewed_lengths(rng):
                                atol=1e-3)
     assert float(np.asarray(ref.score)[0]) > 90
 
-    # default w_eff covers the FULL W in this engine (no parity margin):
-    # global corner on the bottom diagonal d = dmin must be reachable
+    # dual-pair contract (matches the single-chip kernel): w_eff is
+    # clamped to W - 1, so the global corner must sit ABOVE the bottom
+    # diagonal; with dmin = -1 the main diagonal is in-band and the
+    # identity pair aligns perfectly
     L2 = 64
     eq = np.zeros((1, L2), np.int8)
     lens2 = jnp.asarray([L2], jnp.int32)
-    dmin0 = jnp.asarray([0], jnp.int32)
+    dmin0 = jnp.asarray([-1], jnp.int32)
     ref2 = banded_dp(jnp.asarray(eq), jnp.asarray(eq), lens2, lens2,
                      dmin0, W=128, subst=subst, go=-2.0, ge=-1.0,
                      flags=ModeFlags(),
-                     w_eff=jnp.asarray([128], jnp.int32))
+                     w_eff=jnp.asarray([127], jnp.int32))
     with mesh:
         got2 = banded_dp_band_sharded_ad(
             jnp.asarray(eq), jnp.asarray(eq), lens2, lens2, dmin0,
@@ -420,6 +422,49 @@ def test_band_sharded_ad_skewed_lengths(rng):
             mesh=mesh, halo=16)
     assert float(np.asarray(got2)[0]) == pytest.approx(
         float(np.asarray(ref2.score)[0])) == pytest.approx(64.0)
+
+
+def test_band_sharded_ad_dual_pair_batch(rng):
+    """Doubled-pairs coverage for the dual-pair sharded engine: an ODD
+    batch (exercises the inert pad pair), mixed dmin parities, ragged
+    lengths — every pair's score must match the unsharded engine, across
+    modes.  (Round-3 packing: pairs (2b2, 2b2+1) share one lane plane.)"""
+    from biseqt_tpu.parallel.sharded_dp_ad import banded_dp_band_sharded_ad
+
+    B = 5
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 150, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S), ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=160)
+    t_codes, t_lens = pack_sequences(ts, pad_to=192)
+    W = 128
+    dmin = jnp.asarray([-64, -63, -30, -80, -64], jnp.int32)
+    w_eff = jnp.asarray([100, 127, 64, 120, 127], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes),
+            jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+            W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags, w_eff=w_eff,
+        )
+        with mesh:
+            got = banded_dp_band_sharded_ad(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+                W=W, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                mesh=mesh, w_eff=w_eff, halo=16,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.score), atol=1e-3,
+            err_msg=str(flags),
+        )
 
 
 def test_sorted_allvsall_large_nbins_no_overflow(rng):
