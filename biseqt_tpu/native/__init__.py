@@ -203,11 +203,12 @@ def traceback_batch(dirs, dmax, s_codes, t_codes, s_lens, t_lens,
 
 def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
                        end_i, end_j, mode_flags):
-    """Batched traceback over ANTIDIAGONAL-layout direction bytes.
+    """Batched traceback over PACKED antidiagonal direction nibbles.
 
-    ``dirs``: [B2, apad, W] uint8 from the dual-pair AD kernel
+    ``dirs``: [B2, Apad // 2, W] uint8 from the dual-pair AD kernel
     (:func:`biseqt_tpu.ops.pallas_dp_ad.banded_dp_pallas_ad` with
-    ``with_dirs=True``) — pairs (2*b2, 2*b2+1) share plane b2.
+    ``with_dirs=True``) — pairs (2*b2, 2*b2+1) share plane b2; steps
+    (2r, 2r+1) share byte row r (low/high nibble).
     ``dminq``: per-pair PARITY-ADJUSTED band starts (int32 [B],
     ``dmin + (pair % 2 - dmin) mod 2``).  Returns the same triple as
     :func:`traceback_batch`.

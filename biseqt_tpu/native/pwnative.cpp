@@ -221,14 +221,18 @@ int bst_traceback_batch(const uint8_t* dirs, int rows_cap, int W,
     return 0;
 }
 
-// Traceback over ANTIDIAGONAL-layout direction bytes (the dual-pair
-// Pallas kernel's with_dirs output).  Byte of cell (i, j) lives at
-// dirs[(i + j) * W + ((i - j) - dminq)] where dminq is the pair's
-// parity-adjusted band start (dmin + (pair % 2 - dmin) mod 2); the two
-// pairs packed into one plane occupy complementary (a + x) parities, so
-// a walk never reads the other pair's slots.  Same byte semantics and
-// boundary handling as bst_traceback.
-int bst_traceback_ad(const uint8_t* dirs, int apad, int W, int dminq,
+// Traceback over PACKED antidiagonal-layout direction nibbles (the
+// dual-pair Pallas kernel's with_dirs output).  The nibble of cell
+// (i, j) lives in byte dirs[((i + j) / 2) * W + ((i - j) - dminq)] —
+// low nibble for even antidiagonal a = i + j, high nibble for odd —
+// where dminq is the pair's parity-adjusted band start
+// (dmin + (pair % 2 - dmin) mod 2); rows_packed = Apad / 2 byte rows
+// cover Apad antidiagonal steps.  The two pairs packed into one plane
+// occupy complementary (a + x) parities, so a walk never reads the
+// other pair's slots.  Same nibble semantics (bits 0-1 H-source, bit 2
+// E-extend, bit 3 F-extend) and boundary handling as bst_traceback.
+int bst_traceback_ad(const uint8_t* dirs, int rows_packed, int W,
+                     int dminq,
                      const int8_t* s, int ls, const int8_t* t, int lt,
                      int end_i, int end_j, int flags,
                      char* ops, int* start_i, int* start_j) {
@@ -239,8 +243,10 @@ int bst_traceback_ad(const uint8_t* dirs, int apad, int W, int dminq,
     int state = 0;  // 0 = H, 1 = E, 2 = F
     auto byte_at = [&](int ii, int jj, uint8_t* out) -> bool {
         int a = ii + jj, x = (ii - jj) - dminq;
-        if (a < 0 || a >= apad || x < 0 || x >= W) return false;
-        *out = dirs[(size_t)a * W + x];
+        if (a < 0 || a >= 2 * rows_packed || x < 0 || x >= W)
+            return false;
+        uint8_t byte = dirs[(size_t)(a >> 1) * W + x];
+        *out = (a & 1) ? (uint8_t)(byte >> 4) : (uint8_t)(byte & 0x0F);
         return true;
     };
     uint8_t b;
@@ -279,9 +285,10 @@ int bst_traceback_ad(const uint8_t* dirs, int apad, int W, int dminq,
 }
 
 // Batched AD-layout traceback: pairs (2*b2, 2*b2 + 1) share byte plane
-// b2 of dirs [B2, apad, W]; dminq / lengths / ends are per PAIR (B of
-// them).  Same outputs as bst_traceback_batch.
-int bst_traceback_ad_batch(const uint8_t* dirs, int apad, int W,
+// b2 of dirs [B2, rows_packed, W] (nibble-packed: rows_packed = Apad/2);
+// dminq / lengths / ends are per PAIR (B of them).  Same outputs as
+// bst_traceback_batch.
+int bst_traceback_ad_batch(const uint8_t* dirs, int rows_packed, int W,
                            const int32_t* dminq,
                            const int8_t* s, int ls_cap,
                            const int8_t* t, int lt_cap,
@@ -293,7 +300,8 @@ int bst_traceback_ad_batch(const uint8_t* dirs, int apad, int W,
     for (int b = 0; b < B; ++b) {
         int si = 0, sj = 0;
         int n = bst_traceback_ad(
-            dirs + (size_t)(b / 2) * apad * W, apad, W, dminq[b],
+            dirs + (size_t)(b / 2) * rows_packed * W, rows_packed, W,
+            dminq[b],
             s + (size_t)b * ls_cap, s_lens[b],
             t + (size_t)b * lt_cap, t_lens[b],
             end_i[b], end_j[b], flags,

@@ -32,8 +32,11 @@ per-pair scores exactly.  Mode trackers (local max, overlap rays,
 global corner) accumulate into the same two vectors through per-step
 masks.
 
-Score-only: direction bytes / traceback are served by the row kernel or
-the lax engine.  Contract and oracle: :func:`.banded_dp.banded_dp`.
+Transcripts: ``with_dirs=True`` streams per-cell direction nibbles to
+HBM in a packed antidiagonal layout (two steps per byte; see
+:func:`banded_dp_pallas_ad`), walked on host by the batched C++ tracer
+``native.traceback_batch_ad``.  Contract and oracle:
+:func:`.banded_dp.banded_dp`.
 """
 
 from __future__ import annotations
@@ -178,10 +181,16 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         ).wait()
 
     if with_dirs:
+        # two antidiagonal steps pack into one byte (low nibble = even
+        # step of the packed row, high nibble = odd) — halves the HBM
+        # write, the D2H transfer, and the VMEM staging of the dominant
+        # with_dirs cost (~W bytes per DP cell otherwise)
         def dirs_dma(slot, c):
             return pltpu.make_async_copy(
                 dbuf.at[slot],
-                dirs_hbm.at[pl.ds(row0, BT), pl.ds(c * R, R), :],
+                dirs_hbm.at[
+                    pl.ds(row0, BT), pl.ds(c * (R // 2), R // 2), :
+                ],
                 sems.at[slot, 2],
             )
 
@@ -231,6 +240,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 dirs_dma(slot, c - 2).wait()
 
         wait_dma(slot, c)
+        nib = None  # low nibble of the pending packed dirs byte
         # streams are int8 in HBM/VMEM (4x less DMA + prep traffic); cast
         # the whole chunk once — int8 sub-tile value slicing trips a
         # Mosaic relayout bug, i32 slices are fine.
@@ -314,9 +324,12 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                         (H_new == ga) & (diag_cand < ga), 0.0, d
                     )
                 byte = d + e4 + f8
-                dbuf[slot, :, r, :] = byte.astype(jnp.int32).astype(
-                    jnp.uint8
-                )
+                if r % 2 == 0:
+                    nib = byte
+                else:
+                    dbuf[slot, :, r // 2, :] = (
+                        nib + 16.0 * byte
+                    ).astype(jnp.int32).astype(jnp.uint8)
             H_new = H_new + (
                 lane_okf_aeven if r % 2 == 0 else lane_okf_aodd
             )
@@ -437,11 +450,13 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp`.  By
     default score-only (``dirs`` is a 0-size array; ``end_i``/``end_j``
     are -1 sentinels).  With ``with_dirs=True`` the kernel additionally
-    streams direction bytes to HBM in the **antidiagonal layout**
-    ``dirs[b2, a, x]`` — tile row ``b2`` holds pairs ``(2 b2, 2 b2+1)``,
-    cell (i, j) of pair p sits at step ``a = i+j``, lane
-    ``x = (i-j) - dmin'_p`` with ``dmin'_p`` the parity-adjusted band
-    start (``dmin + (p - dmin) % 2``) — walk it with
+    streams direction nibbles to HBM in the **packed antidiagonal
+    layout** ``dirs[b2, a // 2, x]`` — tile row ``b2`` holds pairs
+    ``(2 b2, 2 b2+1)``, cell (i, j) of pair p sits at step ``a = i+j``,
+    lane ``x = (i-j) - dmin'_p`` with ``dmin'_p`` the parity-adjusted
+    band start (``dmin + (p - dmin) % 2``), and steps ``2r``/``2r+1``
+    occupy the low/high nibble of byte row ``r`` (halving the dirs
+    plane's HBM + D2H traffic) — walk it with
     :func:`biseqt_tpu.native.traceback_batch_ad`.  ``end_i``/``end_j``
     are then real per-pair end cells.  Requires ``w_eff <= W - 1`` (one
     lane of slack absorbs the per-pair parity adjustment of dmin).
@@ -589,8 +604,10 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             vspec((BT, W)), vspec((BT, W)),             # Ma / Mb
             vspec((BT, W)), vspec((BT, W)),             # Aa / Ab
         ]
+        assert r_chunk % 2 == 0, "nibble-packed dirs need an even r_chunk"
         out_shape = out_shape + [
-            jax.ShapeDtypeStruct((Bp2, Apad, W), jnp.uint8),
+            # nibble-packed: steps (2r, 2r+1) share byte row r (low/high)
+            jax.ShapeDtypeStruct((Bp2, Apad // 2, W), jnp.uint8),
             jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
             jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
             jax.ShapeDtypeStruct((Bp2, W), jnp.int32),
@@ -598,7 +615,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         ]
         scratch = [
             scratch[0], scratch[1],
-            pltpu.VMEM((2, BT, r_chunk, W), jnp.uint8),  # dirs buffer
+            pltpu.VMEM((2, BT, r_chunk // 2, W), jnp.uint8),  # dirs buffer
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
     out = pl.pallas_call(

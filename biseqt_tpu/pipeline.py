@@ -207,11 +207,12 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         for (LS, LT, W), idxs in sorted(groups.items()):
             per_pair = LS + LT + 2 * W
             if with_transcripts:
-                # the dominant allocation is then the direction-byte
-                # plane (~(LS+LT) * W / 2 bytes per pair), not the char
-                # streams — budget it or genome-scale transcript runs
-                # exhaust HBM
-                per_pair += (LS + LT + 2 * W) * W // 2
+                # the dominant allocation is then the direction plane
+                # (nibble-packed: ~(LS+LT) * W / 4 bytes per pair — the
+                # plane is Apad/2 x W bytes per dual-pair row), not the
+                # char streams — budget it or genome-scale transcript
+                # runs exhaust HBM
+                per_pair += (LS + LT + 2 * W) * W // 4
             cap = max(2, 2 * (STREAM_CHAR_BUDGET // max(per_pair, 1)))
             for k in range(0, len(idxs), cap):
                 _launch(idxs[k:k + cap], LS, LT, W)
