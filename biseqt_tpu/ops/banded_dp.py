@@ -47,7 +47,7 @@ NEG = -1e30  # finite -inf (python float: safe to close over in kernels)
 
 __all__ = [
     "ModeFlags", "DPResult", "banded_dp", "full_dp", "traceback_path",
-    "NEG",
+    "full_dp_traceback", "NEG",
 ]
 
 
@@ -548,6 +548,178 @@ def _full_dp_jit(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
     else:
         dirs = jnp.zeros((), jnp.uint8)
     return DPResult(score=score, end_i=ei, end_j=ej, dirs=dirs)
+
+
+# ---------------------------------------------------------------------------
+# checkpointed re-solve traceback (STD_MODE memory fallback)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("flags", "with_dirs", "n_rows"))
+def _full_dp_block_jit(s_codes, t_codes, s_lens, t_lens, H_in, F_in, i0,
+                       *, n_rows: int, subst, go, ge, flags: ModeFlags,
+                       with_dirs: bool):
+    """Rows ``i0+1 .. i0+n_rows`` of the full-matrix DP from a given
+    (H, F) row state — the re-solve block of the checkpointed traceback.
+    ``i0`` is traced, so every block shares one compiled program.
+    No trackers: end cells come from the score-only full pass.
+    """
+    B, LS = s_codes.shape
+    LT = t_codes.shape[1]
+    W = LT + 1
+    s_codes = s_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
+    subst = jnp.asarray(subst, dtype=jnp.float32)
+    go = jnp.float32(go)
+    ge = jnp.float32(ge)
+    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :].repeat(B, 0)
+    t_cols = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), t_codes], axis=1
+    )
+
+    def step(carry, i):
+        H_prev, F_prev = carry
+        row_valid = (i <= s_lens)[:, None]
+        cell_valid = (j_idx <= t_lens[:, None]) & row_valid
+        s_char = jnp.take_along_axis(
+            s_codes, jnp.clip(i - 1, 0, LS - 1)[None].repeat(B, 0)[:, None],
+            axis=1,
+        )
+        sub = _subst_lookup(subst, s_char, t_cols)
+        H, F, dirs = _row_update(
+            H_prev, F_prev, sub, cell_valid, j_idx, go, ge,
+            up_shift=0, diag_shift=1,
+            local_start=flags.local_start,
+            free_start_col=flags.free_start_edges,
+            want_dirs=with_dirs,
+        )
+        H = jnp.where(row_valid, H, H_prev)
+        F = jnp.where(row_valid, F, F_prev)
+        out = dirs if with_dirs else jnp.zeros((0,), jnp.uint8)
+        return (H, F), out
+
+    (H, F), dirs_rows = jax.lax.scan(
+        step, (H_in, F_in),
+        i0 + jnp.arange(1, n_rows + 1, dtype=jnp.int32),
+    )
+    if with_dirs:
+        dirs = jnp.transpose(dirs_rows, (1, 0, 2))   # [B, n_rows, W]
+    else:
+        dirs = jnp.zeros((), jnp.uint8)
+    return H, F, dirs
+
+
+def full_dp_traceback(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
+                      flags: ModeFlags, end_i, end_j,
+                      block_rows: int = 512):
+    """Transcripts for full-matrix (STD_MODE) alignments in
+    O(block_rows · LT) direction memory instead of O(LS · LT).
+
+    The reference's ``dptable_traceback`` walks a fully materialized
+    table; a single 10 kbp pair's byte plane is ~100 MB here (SURVEY §7
+    "hard parts").  This is the checkpointed re-solve fallback: one
+    score-shaped forward pass storing the (H, F) row state every
+    ``block_rows`` rows (~LS/K · LT · 8 bytes of f32 checkpoints), then
+    the walk re-solves ONE block at a time with direction bytes
+    ([B, block_rows, LT+1] peak) and chases pointers backwards through
+    it.  Compute <= 2x the forward pass; every block shares one
+    compiled program (``i0`` is traced).
+
+    Args: device/np arrays as for :func:`full_dp`; ``end_i``/``end_j``
+    from the score-only pass.  Returns a list of
+    ``(transcript, origin_start, mutate_start)`` per pair.
+    """
+    _check_gap_scores(go, ge)
+    B, LS = s_codes.shape
+    LT = t_codes.shape[1]
+    W = LT + 1
+    K = int(block_rows)
+    n_blocks = max((LS + K - 1) // K, 1)
+    j_idx = np.arange(W, dtype=np.int32)[None, :].repeat(B, 0)
+    tl_col = np.asarray(t_lens, np.int32)[:, None]
+    H = jnp.asarray(np.asarray(
+        _init_row(jnp.asarray(j_idx), jnp.asarray(tl_col),
+                  jnp.float32(go), jnp.float32(ge), flags)
+    ))
+    F = jnp.full((B, W), NEG)
+    ckpts = [(H, F)]
+    for k in range(n_blocks - 1):
+        H, F, _ = _full_dp_block_jit(
+            s_codes, t_codes, s_lens, t_lens, H, F,
+            jnp.int32(k * K), n_rows=K, subst=subst, go=go, ge=ge,
+            flags=flags, with_dirs=False,
+        )
+        ckpts.append((H, F))
+
+    s_np = np.asarray(s_codes)
+    t_np = np.asarray(t_codes)
+    end_i = np.asarray(end_i)
+    end_j = np.asarray(end_j)
+    block_cache = {}
+
+    def block_dirs(k):
+        if k not in block_cache:
+            H_in, F_in = ckpts[k]
+            _, _, dirs = _full_dp_block_jit(
+                s_codes, t_codes, s_lens, t_lens, H_in, F_in,
+                jnp.int32(k * K), n_rows=K, subst=subst, go=go, ge=ge,
+                flags=flags, with_dirs=True,
+            )
+            # keep at most one materialized block (the memory contract)
+            block_cache.clear()
+            block_cache[k] = np.asarray(dirs)
+        return block_cache[k]
+
+    out = []
+    for b in range(B):
+        i, j = int(end_i[b]), int(end_j[b])
+
+        def byte_at(i, j):
+            if j < 0 or j >= W or i < 1:
+                raise ValueError(
+                    "traceback left the matrix at (i=%d, j=%d)" % (i, j)
+                )
+            k = (i - 1) // K
+            return int(block_dirs(k)[b, (i - 1) - k * K, j])
+
+        ops = []
+        state = "H"
+        while True:
+            if state == "H":
+                if i == 0 or j == 0:
+                    break
+                bt = byte_at(i, j)
+                src = bt & 3
+                if src == 0:
+                    break
+                if src == 1:
+                    ops.append(
+                        "M" if s_np[b, i - 1] == t_np[b, j - 1] else "S"
+                    )
+                    i -= 1
+                    j -= 1
+                elif src == 2:
+                    state = "E"
+                else:
+                    state = "F"
+            elif state == "E":
+                bt = byte_at(i, j)
+                ops.append("I")
+                j -= 1
+                if not (bt >> 2) & 1 or j == 0:
+                    state = "H"
+            else:
+                bt = byte_at(i, j)
+                ops.append("D")
+                i -= 1
+                if not (bt >> 3) & 1 or i == 0:
+                    state = "H"
+        if not (flags.local_start or flags.free_start_edges):
+            ops.extend("I" * j)
+            ops.extend("D" * i)
+            i = 0
+            j = 0
+        out.append(("".join(reversed(ops)), i, j))
+    return out
 
 
 # ---------------------------------------------------------------------------

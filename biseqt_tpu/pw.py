@@ -381,9 +381,34 @@ class Aligner:
             )
         if float(self._result.score[0]) <= -1e29:
             return None
+        if (self.alnmode == STD_MODE and not self._result_has_dirs
+                and self.backend == "lax"):
+            # full-matrix mode: a materialized [LS, LT+1] byte plane is
+            # ~100 MB at 10 kbp — use the checkpointed re-solve walk
+            # (O(block_rows * LT) peak dirs memory, <= 2x compute)
+            from .ops.banded_dp import full_dp_traceback
+
+            res = self._result
+            ls, lt = len(self.origin), len(self.mutate)
+            ls_p, lt_p = _bucket(ls), _bucket(lt)
+            s = np.full((1, ls_p), -1, np.int8)
+            s[0, :ls] = self.origin.to_array(np.int8)
+            t = np.full((1, lt_p), -1, np.int8)
+            t[0, :lt] = self.mutate.to_array(np.int8)
+            (tx, i0, j0), = full_dp_traceback(
+                jnp.asarray(s), jnp.asarray(t),
+                jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
+                subst=self.subst_scores, go=self.go_score,
+                ge=self.ge_score, flags=_FLAGS[self.alntype],
+                end_i=np.asarray(res.end_i), end_j=np.asarray(res.end_j),
+            )
+            return Alignment(
+                self.origin, self.mutate, tx, score=float(res.score[0]),
+                origin_start=i0, mutate_start=j0,
+            )
         if not self._result_has_dirs:
-            # solve() is score-only; re-solve with direction bytes (cached
-            # for repeated traceback calls)
+            # banded: re-solve with direction bytes (cached for repeated
+            # traceback calls; the banded plane is O(LS * W) — small)
             self._solve(with_dirs=True)
         res = self._result
         flags = _FLAGS[self.alntype]

@@ -177,8 +177,10 @@ def test_infeasible_band_returns_none(rng):
 
 
 def test_solve_is_dirs_lazy(rng):
-    """solve() must not materialize the [LS, LT] direction-byte array;
-    traceback() re-solves with dirs on demand and caches the result."""
+    """solve() must not materialize the [LS, LT] direction-byte array —
+    and in full-matrix (STD) mode neither must traceback(): it walks via
+    the checkpointed re-solve (O(block_rows * LT) peak dirs memory), so
+    the result stays dirs-free throughout."""
     S = rand_seq(A4, 100, rng=rng)
     T = rand_seq(A4, 100, rng=rng)
     with Aligner(S, T, alntype=pw.LOCAL, go_score=-2, ge_score=-1) as aln:
@@ -186,14 +188,28 @@ def test_solve_is_dirs_lazy(rng):
         assert not aln._result_has_dirs
         assert aln._result.dirs.ndim == 0  # scalar placeholder, no bytes
         alignment = aln.traceback()
-        assert aln._result_has_dirs
+        assert not aln._result_has_dirs   # chunked walk, no full plane
         assert alignment.calculate_score(
             aln.subst_scores, -2.0, -1.0
         ) == pytest.approx(score, abs=1e-3)
-        # second traceback reuses the cached dirs solve
+        # repeated traceback agrees with itself (fresh chunked walk)
+        assert str(aln.traceback().transcript) == \
+            str(alignment.transcript)
+
+    # banded mode still uses the cached dirs re-solve (the banded plane
+    # is O(LS * W) — small)
+    with Aligner(S, T, alnmode=pw.BANDED_MODE, alntype=pw.B_LOCAL,
+                 diag_range=(-32, 32), go_score=-2, ge_score=-1) as aln:
+        score = aln.solve()
+        assert not aln._result_has_dirs
+        alignment = aln.traceback()
+        assert aln._result_has_dirs
         res_before = aln._result
         aln.traceback()
         assert aln._result is res_before
+        assert alignment.calculate_score(
+            aln.subst_scores, -2.0, -1.0
+        ) == pytest.approx(score, abs=1e-3)
 
 
 def test_row0_alignment_ends():
@@ -250,3 +266,49 @@ def test_positive_gap_scores_rejected():
         banded_dp(s, t, jnp.asarray([1], jnp.int32),
                   jnp.asarray([3], jnp.int32), jnp.asarray([-4], jnp.int32),
                   W=8, subst=subst, go=1.0, ge=-1.0, flags=ModeFlags())
+
+
+def test_full_dp_traceback_chunked_matches_materialized(rng):
+    """The checkpointed re-solve traceback (O(block_rows * LT) dirs
+    memory) must reproduce the materialized-plane walk exactly —
+    multiple blocks forced via a small block_rows, across modes and
+    ragged lengths."""
+    import jax.numpy as jnp
+    from biseqt_tpu.ops.banded_dp import (
+        full_dp, full_dp_traceback, traceback_path, ModeFlags,
+    )
+
+    B = 3
+    ss = np.zeros((B, 70), np.int8)
+    ts = np.zeros((B, 60), np.int8)
+    s_lens = np.asarray([70, 55, 63], np.int32)
+    t_lens = np.zeros(B, np.int32)
+    for b in range(B):
+        S = rand_seq(A4, int(s_lens[b]), rng=rng)
+        M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05,
+                            ge_prob=0.2, rng=rng)
+        T, _ = M.mutate(S)
+        arr = T.to_array(np.int8)[:60]
+        t_lens[b] = len(arr)           # mutation changes the length
+        ss[b, :s_lens[b]] = S.to_array(np.int8)
+        ts[b, :t_lens[b]] = arr
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    args = (jnp.asarray(ss), jnp.asarray(ts),
+            jnp.asarray(s_lens), jnp.asarray(t_lens))
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        res = full_dp(*args, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                      with_dirs=True)
+        got = full_dp_traceback(
+            *args, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+            end_i=np.asarray(res.end_i), end_j=np.asarray(res.end_j),
+            block_rows=16,
+        )
+        for b in range(B):
+            ref = traceback_path(
+                np.asarray(res.dirs[b]), ss[b], ts[b],
+                int(res.end_i[b]), int(res.end_j[b]),
+                banded=False, flags=flags,
+            )
+            assert got[b] == ref, (b, flags)
