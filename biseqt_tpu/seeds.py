@@ -238,33 +238,33 @@ class SeedIndexMultiple:
     """
 
     def __init__(self, *seqs: Sequence, wordlen: int = 8,
-                 max_hits_per_kmer: int = None, device: bool = None):
+                 max_hits_per_kmer: int = 8, device: bool = None):
         assert len(seqs) >= 2
         self.seqs = seqs
         self.wordlen = int(wordlen)
         self.alphabet = seqs[0].alphabet
+        h = int(max_hits_per_kmer)
+        assert h >= 1
         if device is None:
-            # the device tier emits first-hit seeds (ONE position tuple
-            # per shared k-mer — no cross products); auto-select it only
-            # when the caller did not explicitly request cross products
-            # (max_hits_per_kmer left at None) and the host dict tier
-            # would be slow (at N=10 x 100 kbp it is minutes, the device
-            # tier one radix sort).  An explicit max_hits_per_kmer > 1
-            # always gets the host tier that honors it.
-            if max_hits_per_kmer is None:
-                device = (sum(len(s) for s in seqs) > 200_000)
-            else:
-                device = max_hits_per_kmer == 1
+            # both tiers have IDENTICAL semantics (capped cross products
+            # of the first h positions per sequence per shared k-mer), so
+            # the auto-switch is purely a performance choice: the host
+            # dict loops are minutes at N=10 x 100 kbp, the device radix
+            # sort milliseconds
+            device = sum(len(s) for s in seqs) > 200_000
         if device:
-            self._build_device()
+            self._build_device(h)
         else:
-            self._build_host(
-                8 if max_hits_per_kmer is None else max_hits_per_kmer
-            )
+            self._build_host(h)
 
-    def _build_device(self):
-        """One global radix sort + vectorized host grouping: first-hit
-        N-way seeds (no scatter — XLA scatters serialize on TPU)."""
+    def _build_device(self, max_hits_per_kmer: int):
+        """One global radix sort + vectorized host run expansion (no
+        scatter — XLA scatters serialize on TPU).
+
+        Same output contract as :meth:`_build_host`: for every k-mer
+        present in all N sequences, the cross product of its first
+        ``max_hits_per_kmer`` positions per sequence.
+        """
         from .ops.tables import nway_shared_seeds, KEY_SENTINEL
 
         # bucket the padded shape: exact-max padding would make every
@@ -278,25 +278,64 @@ class SeedIndexMultiple:
         valid = kk != KEY_SENTINEL
         kk, ss, pp = kk[valid], ss[valid], pp[valid]
         N = len(self.seqs)
+        h = int(max_hits_per_kmer)
+        self._seeds = []
         if kk.size == 0:
-            self._seeds = []
             return
-        # first entry of each (key, seq) subgroup = that sequence's
-        # first occurrence (the table is (key, seq, pos)-sorted)
-        fp = np.empty(kk.shape, bool)
-        fp[0] = True
-        fp[1:] = (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])
-        k_fp, p_fp = kk[fp], pp[fp]
-        # key groups among the first-pair rows; groups of size N touch
-        # every sequence (seq ids are distinct and sorted within a key)
-        gs = np.empty(k_fp.shape, bool)
-        gs[0] = True
-        gs[1:] = k_fp[1:] != k_fp[:-1]
-        starts = np.flatnonzero(gs)
-        sizes = np.diff(np.append(starts, len(k_fp)))
-        sel = starts[sizes == N]
-        rows = p_fp[sel[:, None] + np.arange(N)[None, :]]
-        self._seeds = sorted(tuple(int(x) for x in r) for r in rows)
+        kk = kk.astype(np.int64)
+        # cap every (key, seq) subgroup at its first h rows (the table is
+        # (key, seq, pos)-sorted, so subgroup order IS position order)
+        idx = np.arange(kk.shape[0])
+        sub = np.empty(kk.shape, bool)
+        sub[0] = True
+        sub[1:] = (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])
+        first = np.maximum.accumulate(np.where(sub, idx, 0))
+        keep = (idx - first) < h
+        kk, ss, pp, sub = kk[keep], ss[keep], pp[keep], sub[keep]
+        # key runs; a key whose run holds N subgroups touches every
+        # sequence (seq ids are distinct and ascending within a key, so
+        # subgroup s of a qualifying key belongs to sequence s)
+        ks = np.empty(kk.shape, bool)
+        ks[0] = True
+        ks[1:] = kk[1:] != kk[:-1]
+        key_id = np.cumsum(ks) - 1
+        n_keys = int(key_id[-1]) + 1
+        nsub = np.bincount(key_id[sub], minlength=n_keys)
+        qual = np.flatnonzero(nsub == N)
+        if qual.size == 0:
+            return
+        qmap = np.full(n_keys, -1, np.int64)
+        qmap[qual] = np.arange(qual.size)
+        g_row = qmap[key_id]
+        rows = g_row >= 0
+        idx2 = np.arange(kk.shape[0])
+        first2 = np.maximum.accumulate(np.where(sub, idx2, 0))
+        rank2 = idx2 - first2
+        g_row, s_row, p_row, r_row = (
+            g_row[rows], ss[rows], pp[rows], rank2[rows]
+        )
+        G = qual.size
+        # per-(key, seq) capped hit counts and a [G, N, h] position table
+        c = np.bincount(g_row * N + s_row, minlength=G * N).reshape(G, N)
+        post = np.zeros((G, N, h), np.int64)
+        post[g_row, s_row, r_row] = p_row
+        # cross-product expansion, host-tier ordering (last sequence
+        # varies fastest): stride[:, s] = prod of counts of seqs > s
+        rc = np.cumprod(c[:, ::-1], axis=1)[:, ::-1]  # rc[:, s] = prod c[:, s:]
+        stride = np.concatenate(
+            [rc[:, 1:], np.ones((G, 1), np.int64)], axis=1
+        )
+        totals = rc[:, 0]
+        offsets = np.cumsum(totals)
+        starts = offsets - totals
+        m = np.arange(int(offsets[-1]))
+        gq = np.searchsorted(offsets, m, side="right")
+        t = m - starts[gq]
+        cols = np.empty((m.shape[0], N), np.int64)
+        for s in range(N):
+            cols[:, s] = post[gq, s, (t // stride[gq, s]) % c[gq, s]]
+        order = np.lexsort(tuple(cols[:, s] for s in reversed(range(N))))
+        self._seeds = [tuple(int(x) for x in r) for r in cols[order]]
 
     def _build_host(self, max_hits_per_kmer: int):
         """Dict/cross-product tier: all position combinations per shared

@@ -97,18 +97,29 @@ def test_seed_namedtuple():
 
 
 def test_seed_index_multiple_device_tier_matches_host(rng):
-    """Device N-way seeds (first hit per sequence) == host dict tier with
-    max_hits_per_kmer=1 (first-hit cross product is the same set)."""
+    """Device N-way tier == host dict tier for max_hits in {1, 2, 4} on
+    inputs where shared k-mers REPEAT (so cross products actually fan
+    out) — both tiers implement capped cross products of the first h
+    positions per sequence."""
     from biseqt_tpu.seeds import SeedIndexMultiple
     from biseqt_tpu.stochastics import MutationProcess
 
     M = MutationProcess(A4, subst_probs=0.05, go_prob=0.02, ge_prob=0.05,
                         rng=rng)
     core = rand_seq(A4, 400, rng=rng)
+    # planting the (mutated) core TWICE per sequence makes many shared
+    # k-mers multi-hit in every sequence, so h > 1 diverges from h = 1
     seqs = [rand_seq(A4, 100, rng=rng) + M.mutate(core)[0]
-            + rand_seq(A4, 150, rng=rng) for _ in range(4)]
-    dev = SeedIndexMultiple(*seqs, wordlen=8, device=True)
-    host = SeedIndexMultiple(*seqs, wordlen=8, max_hits_per_kmer=1,
-                             device=False)
-    assert dev.seeds() == host.seeds()
-    assert len(dev) > 30  # the planted core yields many shared k-mers
+            + rand_seq(A4, 150, rng=rng) + M.mutate(core)[0]
+            + rand_seq(A4, 80, rng=rng) for _ in range(4)]
+    sizes = []
+    for h in (1, 2, 4):
+        dev = SeedIndexMultiple(*seqs, wordlen=8, max_hits_per_kmer=h,
+                                device=True)
+        host = SeedIndexMultiple(*seqs, wordlen=8, max_hits_per_kmer=h,
+                                 device=False)
+        assert dev.seeds() == host.seeds(), h
+        sizes.append(len(dev))
+    assert sizes[0] > 30  # the planted cores yield many shared k-mers
+    # repeats must actually fan out, or this test is vacuous at h > 1
+    assert sizes[0] < sizes[1] < sizes[2]
