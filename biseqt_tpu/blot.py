@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from .sequence import Sequence
 from .seeds import SeedIndex, SeedIndexMultiple
-from .kmers import as_kmer_seq
 from .ops import blot_stats
 
 __all__ = [
@@ -472,21 +471,57 @@ class WordBlotOverlap(WordBlot):
 
 
 class _FixedRefBase:
-    """Shared machinery for the fixed-reference modes: one k-mer index
-    of the reference (dict of sorted position lists), plus an adapter
-    that dresses a per-query seed view up as a WordBlot-family object —
-    one implementation, so index policy changes cannot diverge between
-    the overlap and local variants."""
+    """Shared machinery for the fixed-reference modes: the reference's
+    k-mer positions as ONE sorted table (keys ascending, positions
+    ascending within a key) — the SeedIndex representation, not a dict —
+    plus an adapter that dresses a per-query seed view up as a
+    WordBlot-family object.  One implementation, so index policy changes
+    cannot diverge between the overlap and local variants.
+
+    Build tiers (same output): refs >= ``DEVICE_MIN_REF`` go through the
+    device radix sort (``ops.tables.build_kmer_table`` — a 5 Mbp
+    reference indexes in milliseconds of device time); smaller refs use
+    a host numpy argsort (no ~32 ms tunnel dispatch for toy sizes).
+    Queries are served host-side: vectorized packing + searchsorted +
+    cumsum-inversion expansion — O(|query| + hits) per query with no
+    per-query device round-trip.
+    """
+
+    DEVICE_MIN_REF = 1 << 16
 
     def __init__(self, ref: Sequence, wordlen: int = 8, g_max: float = 0.3,
-                 sensitivity: float = 0.99):
+                 sensitivity: float = 0.99, device: bool = None):
         self.ref = ref
         self.wordlen = int(wordlen)
         self.g_max = float(g_max)
         self.sensitivity = float(sensitivity)
-        self._index = {}
-        for pos, km in enumerate(as_kmer_seq(ref, wordlen)):
-            self._index.setdefault(km, []).append(pos)
+        if device is None:
+            device = len(ref) >= self.DEVICE_MIN_REF
+        A = len(ref.alphabet)
+        if device:
+            from .ops import tables
+            from .seeds import _shape_bucket
+
+            pad = _shape_bucket(len(ref))
+            codes = np.full(pad, -1, np.int8)
+            codes[:len(ref)] = ref.to_array(np.int8)
+            keys, _, poss, n_valid = tables.build_kmer_table(
+                jnp.asarray(codes)[None, :],
+                jnp.asarray([len(ref)], jnp.int32), self.wordlen, A,
+            )
+            n = int(n_valid)
+            self._ref_keys = np.asarray(keys[:n]).astype(np.int64)
+            self._ref_pos = np.asarray(poss[:n]).astype(np.int64)
+        else:
+            from .kmers import as_kmer_keys_np
+
+            keys = as_kmer_keys_np(ref.to_array(np.int64), self.wordlen, A)
+            valid = keys >= 0
+            keys = keys[valid]
+            poss = np.flatnonzero(valid)
+            order = np.lexsort((poss, keys))
+            self._ref_keys = keys[order]
+            self._ref_pos = poss[order]
 
     def _as_wordblot(self, cls, query: Sequence):
         wb = cls.__new__(cls)
@@ -494,7 +529,7 @@ class _FixedRefBase:
         wb.wordlen = self.wordlen
         wb.g_max, wb.sensitivity = self.g_max, self.sensitivity
         wb.seed_index = _SeedsFromRefIndex(
-            query, self.ref, self.wordlen, self._index
+            query, self.ref, self.wordlen, self._ref_keys, self._ref_pos
         )
         return wb
 
@@ -538,21 +573,34 @@ class WordBlotLocalRef(_FixedRefBase):
 
 
 class _SeedsFromRefIndex(SeedIndex):
-    """SeedIndex built from a prebuilt reference k-mer dict (no re-index)."""
+    """SeedIndex built against a prebuilt sorted reference k-mer table.
 
-    def __init__(self, S, T, wordlen, ref_index):
+    Per query: vectorized packing of the query's k-mers, two
+    searchsorted passes over the reference keys for per-window hit runs,
+    and a cumsum-inversion expansion of the ragged runs into flat (i, j)
+    arrays (the numpy mirror of ``ops.tables.expand_join``) — no Python
+    loop over positions.
+    """
+
+    def __init__(self, S, T, wordlen, ref_keys, ref_pos):
+        from .kmers import as_kmer_keys_np
+
         self.S, self.T = S, T
         self.wordlen = wordlen
         self.alphabet = S.alphabet
         self.path = None
         lt = len(T)
-        i_list, j_list = [], []
-        for i, km in enumerate(as_kmer_seq(S, wordlen)):
-            for j in ref_index.get(km, ()):
-                i_list.append(i)
-                j_list.append(j)
-        i = np.asarray(i_list, np.int64)
-        j = np.asarray(j_list, np.int64)
+        qk = as_kmer_keys_np(S.to_array(np.int64), wordlen,
+                             len(S.alphabet))
+        starts = np.searchsorted(ref_keys, qk, side="left")
+        ends = np.searchsorted(ref_keys, qk, side="right")
+        counts = np.where(qk >= 0, ends - starts, 0)
+        cum = np.cumsum(counts)
+        total = int(cum[-1]) if counts.shape[0] else 0
+        slot = np.arange(total)
+        i = np.searchsorted(cum, slot, side="right")
+        rank = slot - (cum[i] - counts[i])
+        j = ref_pos[starts[i] + rank]
         d_ = i - j + lt
         a = i + j
         order = np.lexsort((a, d_))

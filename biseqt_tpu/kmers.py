@@ -55,6 +55,30 @@ def as_kmer_seq(seq: Sequence, wordlen: int) -> List[int]:
     return out
 
 
+def as_kmer_keys_np(codes: np.ndarray, wordlen: int,
+                    alphabet_len: int) -> np.ndarray:
+    """Vectorized host-tier k-mer packing over a code array.
+
+    Same values as :func:`as_kmer_seq` / ``ops.tables.kmer_keys`` (base-|Σ|,
+    most significant first), computed with ``wordlen`` numpy passes instead
+    of a per-letter Python loop.  Windows containing a negative code
+    (ambiguity/PAD) come back as -1.  Returns int64 of length
+    ``len(codes) - wordlen + 1`` (empty if the sequence is shorter than
+    ``wordlen``).
+    """
+    codes = np.asarray(codes, np.int64)
+    m = codes.shape[0] - int(wordlen) + 1
+    if m <= 0:
+        return np.empty(0, np.int64)
+    key = np.zeros(m, np.int64)
+    bad = np.zeros(m, bool)
+    for t in range(int(wordlen)):
+        cc = codes[t:t + m]
+        key = key * alphabet_len + np.maximum(cc, 0)
+        bad |= cc < 0
+    return np.where(bad, -1, key)
+
+
 class KmerIndex:
     """An inverted k-mer index over a collection of sequences.
 
