@@ -1,6 +1,6 @@
 # Top-level targets (analog of the reference's Makefile glue).
 
-.PHONY: all native test lint bench tpu-smoke docs clean
+.PHONY: all native test test-quick lint bench tpu-smoke docs clean
 
 all: native
 
@@ -9,6 +9,10 @@ native:
 
 test: native
 	python -m pytest tests/ -x -q
+
+# inner-loop suite (~6 min): skips the interpret-mode row-kernel sweeps
+test-quick: native
+	python -m pytest tests/ -x -q -m "not slow"
 
 # no flake8/pyflakes in this environment: compile-check every source file
 # (catches syntax errors and is a real failure, not a no-op)

@@ -1,7 +1,15 @@
-"""Pallas banded-DP kernel vs lax.scan engine (interpret mode on CPU)."""
+"""Pallas banded-DP kernel vs lax.scan engine (interpret mode on CPU).
+
+Marked ``slow`` wholesale: interpret-mode sweeps of the row kernel are
+~14 of the suite's ~20 minutes on the 1-CPU box.  The inner loop
+(``make test-quick`` / ``-m 'not slow'``) skips them; CI and ``make
+test`` run everything.
+"""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 from biseqt_tpu.sequence import Alphabet, pack_sequences
