@@ -39,7 +39,8 @@ __all__ = ["overlap_stats_sorted", "overlap_stats_sorted_chunked"]
 def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
                                  n_reads: int, alphabet_len: int = 4,
                                  bucket: int = 64, max_run: int = 4,
-                                 max_chunk: int = None):
+                                 max_chunk: int = None,
+                                 min_window: int = 5):
     """:func:`overlap_stats_sorted` for any N: when the int32 composite
     key (q_local * N * nbins) would overflow, query rows are processed in
     equal-size windows via the existing ``n_local``/``q_lo`` machinery.
@@ -57,7 +58,7 @@ def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
     if max_chunk is not None:
         limit = min(limit, int(max_chunk))
     kw = dict(wordlen=wordlen, n_reads=n_reads, alphabet_len=alphabet_len,
-              bucket=bucket, max_run=max_run)
+              bucket=bucket, max_run=max_run, min_window=min_window)
     if limit >= N:
         return overlap_stats_sorted(codes, lengths, **kw)
     out = None
@@ -82,12 +83,13 @@ def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
 @functools.partial(
     jax.jit,
     static_argnames=("wordlen", "alphabet_len", "bucket", "max_run",
-                     "n_reads", "n_local"),
+                     "n_reads", "n_local", "min_window"),
 )
 def overlap_stats_sorted(codes, lengths, *, wordlen: int,
                          n_reads: int, alphabet_len: int = 4,
                          bucket: int = 64, max_run: int = 4,
-                         n_local: int = None, q_lo=None):
+                         n_local: int = None, q_lo=None,
+                         min_window: int = 5):
     """Best-overlap-band statistics for every ordered read pair.
 
     Args:
@@ -185,8 +187,12 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     dbin = uniq_comp % nbins
     valid_row = uniq_comp < 2 ** 31 - 1
     window = jnp.where(valid_row, window, 0)
-    # sparse long-K noise guard: windows below the count floor never win
-    window = jnp.where(window >= 5, window, 0)
+    # sparse long-K noise guard: windows below the count floor never win.
+    # Exposed (``min_window``) because at high error rates seed density
+    # thins as ~p_match^w — 15%-error reads with short overlaps may need
+    # a lower floor (traded against background noise; see
+    # experiments/overlap_recall.py --sweep)
+    window = jnp.where(window >= min_window, window, 0)
     # rank rows by background-corrected excess (a gather-free significance
     # proxy: raw counts favor long bands whose larger background explains
     # their seeds): excess = n - E[bg] - 3*sqrt(E[bg])

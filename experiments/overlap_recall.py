@@ -56,13 +56,28 @@ def ambiguous_overlap(starts, read_len, q, t, min_olap, wordlen):
 
 @with_dumpfile
 def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
-        wordlen=8, min_olap=500, min_score=60.0, min_p=0.4, seed=0):
+        wordlen=8, min_olap=500, min_score=60.0, min_p=0.4, seed=0,
+        engine="mesh", min_window=5):
     rng = np.random.default_rng(seed)
     reads, starts = simulate_reads(rng, genome_len, read_len, n_reads, err)
     codes, lens = pack_sequences(reads)
-    stats = overlap_matrix_sharded(
-        codes, lens, wordlen=wordlen, mesh=make_mesh()
-    )
+    if engine == "sorted":
+        # the at-scale sort-join engine (the one measured at 1000 x 1000
+        # reads in BASELINE config 4); same stats contract
+        from biseqt_tpu.ops.allvsall_sorted import (
+            overlap_stats_sorted_chunked,
+        )
+        import jax.numpy as jnp
+
+        stats = overlap_stats_sorted_chunked(
+            jnp.asarray(codes), jnp.asarray(lens), wordlen=wordlen,
+            n_reads=n_reads, min_window=min_window,
+        )
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+    else:
+        stats = overlap_matrix_sharded(
+            codes, lens, wordlen=wordlen, mesh=make_mesh()
+        )
     tp = fp = fn = 0
     d_errs = []
     for q in range(n_reads):
@@ -94,8 +109,26 @@ def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="BASELINE config-4 error sweep: 10/12/15%% error "
+                         "at 1000 reads through the sort-join engine")
+    ap.add_argument("--n-reads", type=int, default=1000)
+    ap.add_argument("--min-window", type=int, default=5)
     ap.add_argument("--dumpfile", default=None)
     args = ap.parse_args()
+    if args.sweep:
+        import time
+        for err in (0.10, 0.12, 0.15):
+            t0 = time.time()
+            row = run(
+                genome_len=100_000, read_len=3000, n_reads=args.n_reads,
+                err=err, engine="sorted", min_window=args.min_window,
+                seed=int(err * 1000),
+            )
+            row["elapsed_s"] = round(time.time() - t0, 1)
+            row["min_window"] = args.min_window
+            print(json.dumps(row))
+        return
     kw = {}
     if args.quick:
         kw = dict(genome_len=8000, read_len=1500, n_reads=12)

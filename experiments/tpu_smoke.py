@@ -171,8 +171,52 @@ def main():
     t0 = time.time()
     _ = np.asarray(banded_dp_pallas_ad(*bargs2, **kwb).score)
     gcups = Bb * 10000 * BW / (time.time() - t0) / 1e9
-    check("ad_kernel_throughput", gcups > 10, f"{gcups:.1f} GCUPS")
+    # >= 0.7x the measured 57.9 GCUPS headline: a silent 30% hardware /
+    # toolchain regression must FAIL the smoke, not pass a 10-GCUPS bar
+    check("ad_kernel_throughput", gcups > 40, f"{gcups:.1f} GCUPS")
     out["gcups_quick"] = round(gcups, 1)
+
+    # transcript-mode launch at bench-like scale: nibble-packed dirs
+    # plane streamed to HBM, D2H'd, walked by the C++ AD tracer.  The
+    # gate is deliberately loose — this environment's tunnel D2H
+    # (~GB/s) dominates the end-to-end time — but it catches the plane
+    # going missing, the walk erroring, or a 10x kernel-side regression.
+    Bt = 512
+    rr3 = np.random.default_rng(int(time.time()) ^ 0xD1B5)
+    targs = [jnp.asarray(x) for x in (
+        rr3.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        rr3.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
+        np.full((Bt,), -(BW // 2), np.int32))]
+    kwt = dict(kwb)
+    kwt["w_eff"] = jnp.full((Bt,), BW, jnp.int32)
+    kwt["block_b"] = 128
+    rest = banded_dp_pallas_ad(*targs, with_dirs=True, **kwt)
+    _ = np.asarray(rest.score)  # compile
+    rr4 = np.random.default_rng(int(time.time()) ^ 0xFADE)
+    targs2 = [jnp.asarray(x) for x in (
+        rr4.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        rr4.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
+        np.full((Bt,), -(BW // 2), np.int32))]
+    jax.block_until_ready(targs2)
+    t0 = time.time()
+    rest = banded_dp_pallas_ad(*targs2, with_dirs=True, **kwt)
+    dirs_h = np.asarray(rest.dirs)
+    dminq_t = parity_adjusted_dmin(
+        np.full((Bt,), -(BW // 2), np.int32),
+        np.arange(Bt, dtype=np.int32) % 2,
+    )
+    opst, _, _ = native.traceback_batch_ad(
+        dirs_h, dminq_t, np.asarray(targs2[0]), np.asarray(targs2[1]),
+        np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
+        np.asarray(rest.end_i), np.asarray(rest.end_j),
+        ModeFlags(local_start=True, local_end=True))
+    gcups_tx = Bt * 10000 * BW / (time.time() - t0) / 1e9
+    check("ad_dirs_throughput",
+          gcups_tx > 0.5 and all(len(o) >= 0 for o in opst),
+          f"{gcups_tx:.1f} GCUPS end-to-end transcripts")
+    out["gcups_transcripts"] = round(gcups_tx, 2)
 
     out["ok"] = ok_all
     out["elapsed_s"] = round(time.time() - t_start, 1)

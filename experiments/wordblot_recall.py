@@ -77,8 +77,40 @@ def segment_hits(found, planted, radius):
     return hits
 
 
+def index_memory_report(wb):
+    """Bytes actually held by the on-host index arrays, vs a reference-
+    SQLite estimate — the "equal index memory" half of the north star.
+
+    Ours: the SeedIndex keeps (d_, a, composite key) int64 arrays
+    (24 B/seed); the k-mer side of the pairwise flow is transient (the
+    device join never materializes a k-mer table), but the persistent
+    ``KmerIndex`` sorted triple costs 3 x int32 = 12 B/k-mer, reported
+    for comparability with the reference's persistent k-mer table.
+
+    Reference estimate (SQLite): each seed row stores (d, a) + rowid —
+    ~2-9 B varint payload per int, ~4 B row overhead, doubled by the
+    B-tree index on d — ~40 B/seed; each k-mer row (kmer, seq, pos) +
+    B-tree on kmer — ~48 B/k-mer.  (Literature/SQLite-format estimate;
+    the reference mount is empty so it cannot be measured directly.)
+    """
+    idx = wb.seed_index
+    n = len(idx)
+    ours_seed_bytes = (
+        idx._d_.nbytes + idx._a.nbytes + idx._comp.nbytes
+    )
+    n_kmers = len(wb.S) + len(wb.T) - 2 * (wb.wordlen - 1)
+    return {
+        "n_seeds": n,
+        "seed_bytes": int(ours_seed_bytes),
+        "seed_bytes_per_seed": round(ours_seed_bytes / max(n, 1), 1),
+        "ref_seed_bytes_est": int(40 * n),
+        "kmer_triple_bytes": int(12 * n_kmers),
+        "ref_kmer_bytes_est": int(48 * n_kmers),
+    }
+
+
 @with_dumpfile
-def run_sweep(seq_len=20000, n_segments=4, seg_len=1000, subst=0.1,
+def run_sweep(seq_len=100000, n_segments=4, seg_len=1000, subst=0.1,
               gap=0.05, wordlen=8, K_min=500,
               p_mins=(0.5, 0.6, 0.7, 0.8), n_trials=3, seed=0):
     rng = np.random.default_rng(seed)
@@ -88,12 +120,15 @@ def run_sweep(seq_len=20000, n_segments=4, seg_len=1000, subst=0.1,
     # fresh instances per threshold would confound the sweep with
     # sampling noise (and redo the expensive index builds)
     trials = []
+    mem = None
     for _ in range(n_trials):
         S, T, planted = plant_homologies(
             rng, seq_len, n_segments, seg_len, subst, gap
         )
         wb = WordBlot(S, T, wordlen=wordlen, g_max=max(2 * gap, 0.1))
         trials.append((wb, planted))
+        mem = index_memory_report(wb)
+    rows.append({"index_memory": mem, "seq_len": seq_len})
     for p_min in p_mins:
         recalls, precs, p_errs = [], [], []
         for wb, planted in trials:
