@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = [
     "available", "align", "traceback", "traceback_batch",
-    "traceback_batch_ad", "fasta_pack",
+    "traceback_batch_ad", "traceback_ad_window_batch", "fasta_pack",
     "dna_code_map",
     "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
     "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
@@ -74,6 +74,15 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_traceback_ad_window_batch.restype = ctypes.c_int
+    lib.bst_traceback_ad_window_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.bst_fasta_scan.restype = ctypes.c_int
     lib.bst_fasta_scan.argtypes = [
@@ -250,6 +259,54 @@ def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
         for b in range(B)
     ]
     return ops, start_i, start_j
+
+
+def traceback_ad_window_batch(dirs_win, a_base, dminq, s_codes, t_codes,
+                              io_i, io_j, io_state, io_done,
+                              ops_stride: int):
+    """One window of the band-sharded checkpointed traceback.
+
+    ``dirs_win``: [B2, n_steps, W] UNPACKED direction bytes for
+    antidiagonals ``a_base .. a_base + n_steps - 1`` (the window
+    re-solver's output; pairs (2*b2, 2*b2+1) share plane b2 on
+    complementary parities).  ``io_i``/``io_j``/``io_state``/``io_done``
+    are int32 [B] walk cursors advanced IN PLACE.  Returns the list of
+    per-pair BACKWARD op segments emitted inside this window (empty for
+    inactive pairs); the caller concatenates segments across windows
+    (descending) and reverses once.
+    """
+    lib = _load()
+    dirs_win = np.ascontiguousarray(dirs_win, np.uint8)
+    _, n_steps, W = dirs_win.shape
+    s_codes = np.ascontiguousarray(s_codes, np.int8)
+    t_codes = np.ascontiguousarray(t_codes, np.int8)
+    dminq = np.ascontiguousarray(dminq, np.int32)
+    B = int(s_codes.shape[0])
+    for cur in (io_i, io_j, io_state, io_done):
+        assert cur.dtype == np.int32 and cur.flags["C_CONTIGUOUS"], \
+            "walk cursors must be contiguous int32 (updated in place)"
+    ops_buf = np.zeros((B, ops_stride), np.uint8)
+    ops_len = np.zeros((B,), np.int32)
+    rc = lib.bst_traceback_ad_window_batch(
+        dirs_win.ctypes.data, n_steps, W, int(a_base),
+        dminq.ctypes.data,
+        s_codes.ctypes.data, s_codes.shape[1],
+        t_codes.ctypes.data, t_codes.shape[1],
+        B, int(ops_stride),
+        io_i.ctypes.data, io_j.ctypes.data, io_state.ctypes.data,
+        io_done.ctypes.data, ops_buf.ctypes.data, ops_len.ctypes.data,
+    )
+    assert rc == 0, "bst_traceback_ad_window_batch failed"
+    bad = np.nonzero(ops_len < 0)[0]
+    assert bad.size == 0, (
+        "window walk left the direction plane for pairs %s — wrong "
+        "dminq/end cell or a checkpoint/re-solve mismatch"
+        % bad[:8].tolist()
+    )
+    return [
+        ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
+        for b in range(B)
+    ]
 
 
 def dna_code_map(letters: str = "ACGT", lowercase: bool = True):

@@ -313,6 +313,80 @@ int bst_traceback_ad_batch(const uint8_t* dirs, int rows_packed, int W,
     return 0;
 }
 
+// Resumable AD-layout traceback over one re-solved antidiagonal WINDOW
+// (the band-sharded engine's checkpointed traceback: windows are
+// re-solved newest-to-oldest and each is walked through in turn).
+// dirs here is UNPACKED — [B2, n_steps, W] full bytes, row r =
+// antidiagonal a_base + r — window planes are short-lived re-solve
+// output, not the kernel's persistent HBM stream, so there is nothing
+// to gain from nibble packing.  Per-pair walk cursors (io_i, io_j,
+// io_state 0=H/1=E/2=F, io_done) advance in place; a pair walks only
+// while its current antidiagonal i + j lies inside
+// [a_base, a_base + n_steps) and pauses at the window's lower edge to
+// resume in the previous window.  Emitted ops are BACKWARD (end ->
+// start) segments; the Python driver concatenates window segments and
+// reverses once (and applies the anchored-start I/D tail).
+// ops_len[b] = -1 flags a walk that left the plane (wrong geometry or
+// corrupted dirs).
+int bst_traceback_ad_window_batch(
+        const uint8_t* dirs, int n_steps, int W, int a_base,
+        const int32_t* dminq,
+        const int8_t* s, int ls_cap, const int8_t* t, int lt_cap,
+        int B, int ops_stride,
+        int32_t* io_i, int32_t* io_j, int32_t* io_state,
+        int32_t* io_done, char* ops_out, int32_t* ops_len) {
+    for (int b = 0; b < B; ++b) {
+        ops_len[b] = 0;
+        if (io_done[b]) continue;
+        int i = io_i[b], j = io_j[b], state = io_state[b];
+        if ((long)i + j >= (long)a_base + n_steps) continue;  // ends above
+        const uint8_t* plane = dirs + (size_t)(b / 2) * n_steps * W;
+        const int8_t* sb = s + (size_t)b * ls_cap;
+        const int8_t* tb = t + (size_t)b * lt_cap;
+        char* ops = ops_out + (size_t)b * ops_stride;
+        const int dq = dminq[b];
+        int n = 0;
+        bool bad = false;
+        auto byte_at = [&](int ii, int jj, uint8_t* out) -> bool {
+            int a = ii + jj, x = (ii - jj) - dq;
+            if (a < a_base || a >= a_base + n_steps || x < 0 || x >= W)
+                return false;
+            *out = plane[(size_t)(a - a_base) * W + x];
+            return true;
+        };
+        uint8_t bt;
+        for (;;) {
+            if (i + j < a_base) break;          // resume in prior window
+            if (state == 0) {
+                if (i == 0 || j == 0) { io_done[b] = 1; break; }
+                if (!byte_at(i, j, &bt)) { bad = true; break; }
+                int src = bt & 3;
+                if (src == 0) { io_done[b] = 1; break; }
+                if (src == 1) {
+                    ops[n++] = (sb[i - 1] == tb[j - 1]) ? 'M' : 'S';
+                    --i; --j;
+                } else if (src == 2) state = 1;
+                else state = 2;
+            } else if (state == 1) {
+                if (i < 1 || !byte_at(i, j, &bt)) { bad = true; break; }
+                ops[n++] = 'I';
+                --j;
+                if (!((bt >> 2) & 1) || j == 0) state = 0;
+            } else {
+                if (i < 1 || !byte_at(i, j, &bt)) { bad = true; break; }
+                ops[n++] = 'D';
+                --i;
+                if (!((bt >> 3) & 1) || i == 0) state = 0;
+            }
+        }
+        io_i[b] = i;
+        io_j[b] = j;
+        io_state[b] = state;
+        ops_len[b] = bad ? -1 : n;
+    }
+    return 0;
+}
+
 // ---------------------------------------------------------------------
 // FASTA streaming packer
 // ---------------------------------------------------------------------

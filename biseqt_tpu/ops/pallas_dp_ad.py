@@ -76,7 +76,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             *rest,
             W: int, Apad: int, BT: int, A: int, go: float, ge: float,
             flags: ModeFlags, uniform, R: int, strip: int = 0,
-            with_dirs: bool = False):
+            with_dirs: bool = False, i8win: bool = False):
     if with_dirs:
         (score0_ref, score1_ref, dirs_hbm, ma_ref, mb_ref, aa_ref, ab_ref,
          sbuf, tbuf, dbuf, sems) = rest
@@ -253,8 +253,18 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         # s window slides forward (roll left), the t window backward
         # (roll right, pre-rolled to its chunk-end start); wrapped lanes
         # never enter the [:, :W] view within a chunk.
-        s_chunk = sbuf[slot].astype(jnp.int32)
-        t_chunk = pltpu.roll(tbuf[slot].astype(jnp.int32), W + 1, 1)
+        # i8win (uniform fast path only): keep the chunks int8 — the two
+        # per-step rolls then move 4x fewer vregs (the permute unit is
+        # the kernel's dominant cost; see docs/kernels.md ceiling
+        # analysis) and the eq compare runs at i8 width; the where()
+        # producing the f32 sub plane runs at full chunk width so the
+        # [:, :W] view stays vreg-aligned (free).
+        if i8win and uniform is not None:
+            s_chunk = sbuf[slot]
+            t_chunk = pltpu.roll(tbuf[slot], W + 1, 1)
+        else:
+            s_chunk = sbuf[slot].astype(jnp.int32)
+            t_chunk = pltpu.roll(tbuf[slot].astype(jnp.int32), W + 1, 1)
         a0 = c * R
         ga0 = (c * (R * gd)).astype(jnp.float32) if gd else jnp.float32(0)
 
@@ -268,6 +278,16 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
                 if r + 1 < R:
                     s_chunk = pltpu.roll(s_chunk, 1, 1)
+                    t_chunk = pltpu.roll(t_chunk, 1, 1)
+            elif i8win and uniform is not None:
+                m_u, mm_u = uniform
+                sub = jnp.where(
+                    s_chunk == t_chunk,
+                    jnp.float32(m_u + 2.0 * gd),
+                    jnp.float32(mm_u + 2.0 * gd),
+                )[:, :W]
+                if r + 1 < R:
+                    s_chunk = pltpu.roll(s_chunk, W + R - 1, 1)
                     t_chunk = pltpu.roll(t_chunk, 1, 1)
             else:
                 sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
@@ -444,7 +464,8 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         subst, go: float, ge: float, flags: ModeFlags,
                         w_eff=None, A: int = 4, block_b: int = 128,
                         interpret: bool = False, r_chunk: int = _R,
-                        with_dirs: bool = False, _strip: int = 0):
+                        with_dirs: bool = False, _strip: int = 0,
+                        _i8win: bool = False):
     """Antidiagonal dual-pair banded DP.
 
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp`.  By
@@ -481,20 +502,21 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
         uniform=uniform, r_chunk=int(r_chunk), strip=int(_strip),
-        with_dirs=bool(with_dirs),
+        with_dirs=bool(with_dirs), i8win=bool(_i8win),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
-                     "uniform", "r_chunk", "strip", "with_dirs"),
+                     "uniform", "r_chunk", "strip", "with_dirs", "i8win"),
 )
 def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              w_eff, *, W: int, go: float, ge: float,
                              flags: ModeFlags, A: int, block_b: int,
                              interpret: bool, uniform, r_chunk: int = _R,
-                             strip: int = 0, with_dirs: bool = False):
+                             strip: int = 0, with_dirs: bool = False,
+                             i8win: bool = False):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     if w_eff is None:
@@ -578,7 +600,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     kernel = functools.partial(
         _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
         flags=flags, uniform=uniform, R=r_chunk, strip=strip,
-        with_dirs=with_dirs,
+        with_dirs=with_dirs, i8win=i8win,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM

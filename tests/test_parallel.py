@@ -488,3 +488,98 @@ def test_sorted_allvsall_large_nbins_no_overflow(rng):
                 continue
             assert abs(int(diag[q, t])) <= 16, (q, t, diag[q, t])
             assert p[q, t] > 0.8, (q, t, p[q, t])
+
+
+def test_band_sharded_ad_traceback_rescores(rng):
+    """Checkpointed re-solve traceback through the band-sharded AD
+    engine: forward pass checkpoints every ckpt_chunks halo chunks,
+    windows re-solve newest-first, the native window walker resumes
+    across window boundaries.  Small halo + tiny windows maximize the
+    number of cross-window resumes; transcripts must rescore to exactly
+    the unsharded engine's score across modes."""
+    from test_pallas_dp_ad import _rescore
+    from biseqt_tpu.parallel.sharded_dp_ad import band_sharded_ad_traceback
+
+    B = 3                                # odd batch: inert pad pair
+    M = MutationProcess(A4, subst_probs=0.15, go_prob=0.05, ge_prob=0.2,
+                        rng=rng)
+    ss, ts = [], []
+    for _ in range(B):
+        S = rand_seq(A4, 120, rng=rng)
+        T, _ = M.mutate(S)
+        ss.append(S), ts.append(T)
+    s_codes, s_lens = pack_sequences(ss, pad_to=128)
+    t_codes, t_lens = pack_sequences(ts, pad_to=160)
+    W = 256
+    dmin = jnp.asarray([-128, -121, -60], jnp.int32)  # mixed parity
+    w_eff = jnp.asarray([W - 1, 200, 100], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    go, ge = -2.0, -1.0
+    mesh = make_mesh(n_data=2, n_band=4)
+    for flags in (ModeFlags(),
+                  ModeFlags(local_start=True, local_end=True),
+                  ModeFlags(free_start_edges=True, free_end_edges=True)):
+        ref = banded_dp(
+            jnp.asarray(s_codes), jnp.asarray(t_codes),
+            jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+            W=W, subst=subst, go=go, ge=ge, flags=flags, w_eff=w_eff,
+        )
+        with mesh:
+            scores, tx = band_sharded_ad_traceback(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens), dmin,
+                W=W, subst=subst, go=go, ge=ge, flags=flags,
+                mesh=mesh, w_eff=w_eff, halo=16, ckpt_chunks=2,
+            )
+        np.testing.assert_allclose(
+            scores, np.asarray(ref.score), atol=1e-3, err_msg=str(flags)
+        )
+        anchored_start = not (flags.local_start or flags.free_start_edges)
+        anchored_end = not (flags.local_end or flags.free_end_edges)
+        for b in range(B):
+            if scores[b] < -1e29:
+                assert tx[b][0] == ""
+                continue
+            ops, si, sj = tx[b]
+            assert set(ops) <= set("MSID"), (b, ops[:40])
+            got, ei, ej = _rescore(
+                ops, s_codes[b], t_codes[b], si, sj, subst, go, ge
+            )
+            assert got == pytest.approx(float(scores[b]), abs=1e-2), (
+                b, flags)
+            if anchored_start:
+                assert (si, sj) == (0, 0)
+            if anchored_end:
+                assert (ei, ej) == (int(s_lens[b]), int(t_lens[b])), (
+                    b, flags)
+
+
+def test_band_sharded_ad_traceback_skewed(rng):
+    """Sharded traceback at skewed lengths / large positive dmin (the
+    char-stream ring-wrap repro geometry) — the window re-solver shares
+    the forward's streams, so a wrap bug would corrupt re-solved dirs
+    even with a correct forward score."""
+    from test_pallas_dp_ad import _rescore
+    from biseqt_tpu.parallel.sharded_dp_ad import band_sharded_ad_traceback
+
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = jnp.asarray([600], jnp.int32)
+    tl = jnp.asarray([100], jnp.int32)
+    dmin = jnp.asarray([480], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    go, ge = -2.0, -1.0
+    mesh = make_mesh(n_data=2, n_band=4)
+    flags = ModeFlags(local_start=True, local_end=True)
+    with mesh:
+        scores, tx = band_sharded_ad_traceback(
+            jnp.asarray(S), jnp.asarray(T), sl, tl, dmin, W=128,
+            subst=subst, go=go, ge=ge, flags=flags, mesh=mesh,
+            w_eff=jnp.asarray([127], jnp.int32), halo=16, ckpt_chunks=2,
+        )
+    assert float(scores[0]) > 90
+    ops, si, sj = tx[0]
+    got, _, _ = _rescore(ops, S[0], T[0], si, sj, subst, go, ge)
+    assert got == pytest.approx(float(scores[0]), abs=1e-2)
+    assert ops.count("M") >= 90           # the planted 100-mer
