@@ -144,15 +144,31 @@ class WordBlot:
         d_, a = self.seed_index.seed_arrays()
         acell = max(2 * K, 2)
         dcell = max(r, 1)
-        n_d = (len(self.S) + len(self.T)) // dcell + 2
-        n_a = (len(self.S) + len(self.T)) // acell + 2
+        # bucket grid dims too (see below): they depend on |S|+|T|, which
+        # varies query-to-query in the fixed-reference modes; extra rows
+        # stay empty and never form components
+        from .seeds import _shape_bucket
+
+        n_d = _shape_bucket((len(self.S) + len(self.T)) // dcell + 2,
+                            mini=64)
+        n_a = _shape_bucket((len(self.S) + len(self.T)) // acell + 2,
+                            mini=64)
         if len(d_) == 0:
             grid = np.zeros((n_d, n_a), np.int32)
             return grid, grid, dcell, acell, r
+        # bucket the seed-count dim: every distinct length is a separate
+        # jit shape (= a remote compile on this environment), and the
+        # fixed-reference modes stream many queries with different seed
+        # counts through this scatter — pad to the shape bucket and mask
+        pad = _shape_bucket(len(d_))
+        dc = np.zeros(pad, np.int32)
+        ac = np.zeros(pad, np.int32)
+        dc[:len(d_)] = d_ // dcell
+        ac[:len(d_)] = a // acell
+        valid = np.zeros(pad, bool)
+        valid[:len(d_)] = True
         grid = np.asarray(blot_stats.grid_counts(
-            jnp.asarray(d_ // dcell, jnp.int32),
-            jnp.asarray(a // acell, jnp.int32),
-            jnp.ones(len(d_), bool), n_d, n_a,
+            jnp.asarray(dc), jnp.asarray(ac), jnp.asarray(valid), n_d, n_a,
         ))
         neigh = np.asarray(blot_stats.box_sum3(jnp.asarray(grid)))
         return grid, neigh, dcell, acell, r
