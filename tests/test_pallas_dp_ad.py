@@ -136,6 +136,51 @@ def test_ad_kernel_dirs_transcripts(rng, flags):
     assert n_checked >= B - 1, "test geometry should mostly be reachable"
 
 
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_ad_kernel_i8win_matches_lax(rng, flags):
+    """The int8-window lever (_i8win=True): carries the char chunks as
+    int8 register values so the two per-step rolls move 4x fewer vregs.
+    Uniform-subst fast path only; must be score-identical."""
+    args, w_eff = _mk_batch(rng)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+              w_eff=jnp.asarray(w_eff))
+    ref = np.asarray(banded_dp(*args, **kw).score)
+    got = np.asarray(banded_dp_pallas_ad(
+        *args, interpret=True, block_b=8, r_chunk=16, _i8win=True,
+        **kw).score)
+    np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
+
+
+def test_ad_kernel_i8win_skewed_and_dirs(rng):
+    """i8win on the skewed-length ring geometry (wrap regression) and in
+    transcript mode (dirs bytes must be identical with the lever on)."""
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = jnp.asarray([600], jnp.int32)
+    tl = jnp.asarray([100], jnp.int32)
+    dmin = jnp.asarray([480], jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0,
+              flags=ModeFlags(local_start=True, local_end=True),
+              w_eff=jnp.asarray([127], jnp.int32))
+    base = banded_dp_pallas_ad(
+        jnp.asarray(S), jnp.asarray(T), sl, tl, dmin,
+        interpret=True, block_b=8, r_chunk=16, with_dirs=True, **kw)
+    got = banded_dp_pallas_ad(
+        jnp.asarray(S), jnp.asarray(T), sl, tl, dmin,
+        interpret=True, block_b=8, r_chunk=16, with_dirs=True,
+        _i8win=True, **kw)
+    np.testing.assert_allclose(np.asarray(got.score),
+                               np.asarray(base.score), atol=1e-2)
+    assert np.asarray(got.score)[0] > 90  # planted diagonal in band
+    np.testing.assert_array_equal(np.asarray(got.dirs),
+                                  np.asarray(base.dirs))
+    assert int(got.end_i[0]) == int(base.end_i[0])
+    assert int(got.end_j[0]) == int(base.end_j[0])
+
+
 def test_ad_kernel_general_subst_fractional_ge(rng):
     """Non-uniform substitution matrix + fractional ge exercises the
     general lookup path and the drifted-state arithmetic."""
