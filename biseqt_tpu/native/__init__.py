@@ -15,8 +15,8 @@ import numpy as np
 
 __all__ = [
     "available", "align", "traceback", "traceback_batch",
-    "traceback_batch_ad", "traceback_ad_window_batch", "fasta_pack",
-    "dna_code_map",
+    "traceback_batch_ad", "traceback_ad_window_batch",
+    "compact_sweep_ops", "fasta_pack", "dna_code_map",
     "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
     "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
 ]
@@ -82,6 +82,14 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_compact_sweep_batch.restype = ctypes.c_int
+    lib.bst_compact_sweep_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.bst_fasta_scan.restype = ctypes.c_int
@@ -307,6 +315,52 @@ def traceback_ad_window_batch(dirs_win, a_base, dminq, s_codes, t_codes,
         ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
         for b in range(B)
     ]
+
+
+def compact_sweep_ops(trace0, trace1, fin_i, fin_j, s_codes, t_codes,
+                      mode_flags):
+    """Turn on-device sweep traces into MSID transcripts.
+
+    ``trace0`` / ``trace1``: [B2, Atr] uint8 op traces from
+    :func:`biseqt_tpu.ops.pallas_walk.traceback_sweep` (pair b owns
+    plane b // 2 of trace ``b % 2``); ``fin_i`` / ``fin_j``: the walk's
+    final cursor [B] (the alignment start; -1 = skipped pair).  Returns
+    the same ``(ops list[str], start_i, start_j)`` triple as
+    :func:`traceback_batch_ad`.
+    """
+    lib = _load()
+    trace0 = np.ascontiguousarray(trace0, np.uint8)
+    trace1 = np.ascontiguousarray(trace1, np.uint8)
+    assert trace0.shape == trace1.shape
+    atr = int(trace0.shape[1])
+    s_codes = np.ascontiguousarray(s_codes, np.int8)
+    t_codes = np.ascontiguousarray(t_codes, np.int8)
+    fin_i = np.ascontiguousarray(fin_i, np.int32)
+    fin_j = np.ascontiguousarray(fin_j, np.int32)
+    B = int(s_codes.shape[0])
+    assert trace0.shape[0] * 2 >= B, (trace0.shape, B)
+    ops_stride = int(s_codes.shape[1] + t_codes.shape[1] + 2)
+    ops_buf = np.zeros((B, ops_stride), np.uint8)
+    ops_len = np.zeros((B,), np.int32)
+    rc = lib.bst_compact_sweep_batch(
+        trace0.ctypes.data, trace1.ctypes.data, atr,
+        s_codes.ctypes.data, s_codes.shape[1],
+        t_codes.ctypes.data, t_codes.shape[1],
+        fin_i.ctypes.data, fin_j.ctypes.data,
+        _flags_of(mode_flags), B, ops_stride,
+        ops_buf.ctypes.data, ops_len.ctypes.data,
+    )
+    assert rc == 0, "bst_compact_sweep_batch failed"
+    bad = np.nonzero(ops_len < 0)[0]
+    assert bad.size == 0, (
+        "sweep trace replay overran for pairs %s — corrupted trace or "
+        "mismatched final cursors" % bad[:8].tolist()
+    )
+    ops = [
+        ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
+        for b in range(B)
+    ]
+    return ops, fin_i[:B].copy(), fin_j[:B].copy()
 
 
 def dna_code_map(letters: str = "ACGT", lowercase: bool = True):

@@ -1,0 +1,279 @@
+"""On-device traceback walk over packed antidiagonal direction planes.
+
+The transcript path previously materialized the whole nibble-packed
+direction plane on the host and walked it in C++
+(:func:`biseqt_tpu.native.traceback_batch_ad`).  The walk itself is
+fast; the device-to-host transfer is not — the plane is ~W/2 bytes per
+antidiagonal step per pair-row (config-1 geometry: ~1.3 GB per 1024
+pairs), and it dominates transcript-mode end-to-end even on production
+PCIe.  This kernel walks ON DEVICE and ships only a per-step op trace
+(1 byte per antidiagonal step per pair: 64x less transfer), which a
+tiny C++ pass compacts into MSID transcripts
+(:func:`biseqt_tpu.native.compact_sweep_ops`).
+
+Mirrors the reference contract of ``pwlib — dptable_traceback`` (every
+alignment gets an edit transcript) with a TPU-shaped algorithm:
+
+* **Lockstep descending-``a`` sweep.**  Every backtrack move from a
+  cell on antidiagonal ``a = i + j`` lands on ``a - 1`` (gap) or
+  ``a - 2`` (diagonal), so all walks can be advanced by one global
+  sweep ``a = Apad-1 .. 0``: a walk acts exactly when its cursor sits
+  on the current antidiagonal.  No gathers, no per-pair control flow —
+  just masked vector updates, the only data-dependent-control-flow
+  shape XLA/Mosaic runs well.
+* **Fused gap-entry.**  The scalar walker enters state E/F without
+  moving and re-reads the same byte to emit the first gap op.  Fusing
+  entry+emit means every action emits exactly one op and decreases
+  ``a``, so one sub-step per antidiagonal suffices and an op trace
+  indexed by ``a`` never collides.
+* **One-hot lane extraction.**  A walk's byte lives at lane
+  ``x = i - j - dmin'`` of the current plane row; ``(iota == x)``
+  select + lane-max reads all BT pair-rows' bytes in ~4 vector ops —
+  per-lane dynamic addressing without a gather.
+* **Streamed planes.**  Direction rows are double-buffered HBM->VMEM
+  DMA in descending chunks (``pl.multiple_of`` on the descending
+  offsets), the per-chunk op traces are register values scattered by
+  the static unroll index and DMA'd out once per chunk.
+
+Both nibble-packed pairs of a plane row walk simultaneously (parity
+slot p reads lanes with ``(a + x) % 2 == p``).  Op codes in the trace:
+0 none, 1 diagonal (M/S split done host-side against the chars),
+2 insertion (consumes t), 3 deletion (consumes s).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OP_NONE, OP_DIAG, OP_INS, OP_DEL = 0, 1, 2, 3
+
+_RC = 64     # packed dirs rows per DMA chunk (= 128 antidiagonal steps)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
+            dirs_hbm,
+            fi0_ref, fi1_ref, fj0_ref, fj1_ref, tr0_hbm, tr1_hbm,
+            dbuf, obuf, sems, osems,
+            *, W: int, Rp: int, BT: int, RC: int):
+    b = pl.program_id(0)
+    row0 = b * BT
+    n_chunks = Rp // RC
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    steps = jax.lax.broadcasted_iota(jnp.int32, (BT, 2 * RC), 1)
+
+    dq0, dq1 = dq0_ref[:, :1], dq1_ref[:, :1]
+
+    def start_dma(slot, c):
+        base = pl.multiple_of(c * RC, RC)
+        pltpu.make_async_copy(
+            dirs_hbm.at[pl.ds(row0, BT), pl.ds(base, RC), :],
+            dbuf.at[slot], sems.at[slot],
+        ).start()
+
+    def wait_dma(slot, c):
+        base = pl.multiple_of(c * RC, RC)
+        pltpu.make_async_copy(
+            dirs_hbm.at[pl.ds(row0, BT), pl.ds(base, RC), :],
+            dbuf.at[slot], sems.at[slot],
+        ).wait()
+
+    def out_dma(slot, c, par):
+        base = pl.multiple_of(c * (2 * RC), 2 * RC)
+        hbm = tr0_hbm if par == 0 else tr1_hbm
+        return pltpu.make_async_copy(
+            obuf.at[slot, par],
+            hbm.at[pl.ds(row0, BT), pl.ds(base, 2 * RC)],
+            osems.at[slot, par],
+        )
+
+    start_dma(0, n_chunks - 1)
+
+    def step_walk(nib_row, a, i, j, st, dn, dq):
+        """One fused walker action for all BT walks of one parity slot.
+
+        All inputs [BT, 1] i32 except nib_row [BT, W] i32.  Returns the
+        op column and the updated cursor state.
+        """
+        active = (dn == 0) & (i + j == a)
+        x = i - j - dq
+        onehot = lanes == x
+        byte = jnp.max(jnp.where(onehot, nib_row, 0), axis=1,
+                       keepdims=True)
+        src = byte & 3
+        e_ext = (byte & 4) != 0
+        f_ext = (byte & 8) != 0
+        is_h = st == 0
+        # in H: i==0 / j==0 (band/edge start) or src==0 (local start)
+        # ends the walk without emitting; gap-entry (src 2/3) is fused
+        # with its first emit — the scalar walker re-reads the same byte
+        stop = is_h & ((i == 0) | (j == 0) | (src == 0))
+        act = active & ~stop
+        go_e = act & ((is_h & (src == 2)) | (st == 1))
+        go_f = act & ((is_h & (src == 3)) | (st == 2))
+        go_d = act & is_h & (src == 1)
+        op = jnp.where(
+            go_d, OP_DIAG,
+            jnp.where(go_e, OP_INS, jnp.where(go_f, OP_DEL, OP_NONE)),
+        )
+        i2 = i - jnp.where(go_d | go_f, 1, 0)
+        j2 = j - jnp.where(go_d | go_e, 1, 0)
+        st2 = jnp.where(
+            act,
+            jnp.where(go_e & e_ext & (j2 > 0), 1,
+                      jnp.where(go_f & f_ext & (i2 > 0), 2, 0)),
+            st,
+        )
+        dn2 = jnp.where(active & stop, 1, dn)
+        return op, i2, j2, st2, dn2
+
+    def chunk_body(cc, carry):
+        c = n_chunks - 1 - cc
+        slot = cc % 2
+        i0, j0, st0, dn0, i1, j1, st1, dn1 = carry
+
+        @pl.when(cc + 1 < n_chunks)
+        def _():
+            start_dma(1 - slot, c - 1)
+
+        # the slot's previous trace write-out must have landed before
+        # this chunk rebuilds obuf[slot]
+        @pl.when(cc >= 2)
+        def _():
+            out_dma(slot, c + 2, 0).wait()
+            out_dma(slot, c + 2, 1).wait()
+
+        wait_dma(slot, c)
+        chunk = dbuf[slot].astype(jnp.int32)      # [BT, RC, W]
+        lo = chunk & 15
+        # high nibble without a vector shift (Mosaic has no vector shl,
+        # and shr is equally unsupported): exact for byte values via f32
+        hi = ((chunk - lo).astype(jnp.float32)
+              * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
+
+        acc0 = jnp.zeros((BT, 2 * RC), jnp.int32)
+        acc1 = jnp.zeros((BT, 2 * RC), jnp.int32)
+        for rr in reversed(range(2 * RC)):
+            r, q = rr // 2, rr % 2
+            nib_row = (hi if q else lo)[:, r, :]
+            a = c * (2 * RC) + rr
+            # parity slot p owns lanes with (a + x) % 2 == p; both
+            # slots act at every a, on complementary lanes
+            op0, i0, j0, st0, dn0 = step_walk(nib_row, a, i0, j0, st0,
+                                              dn0, dq0)
+            op1, i1, j1, st1, dn1 = step_walk(nib_row, a, i1, j1, st1,
+                                              dn1, dq1)
+            sel = steps == rr
+            acc0 = jnp.where(sel, op0, acc0)
+            acc1 = jnp.where(sel, op1, acc1)
+
+        obuf[slot, 0] = acc0.astype(jnp.uint8)
+        obuf[slot, 1] = acc1.astype(jnp.uint8)
+        out_dma(slot, c, 0).start()
+        out_dma(slot, c, 1).start()
+        return (i0, j0, st0, dn0, i1, j1, st1, dn1)
+
+    def col(ref):
+        return ref[:, :1]
+
+    init = (col(ei0_ref), col(ej0_ref),
+            jnp.zeros((BT, 1), jnp.int32),
+            jnp.where(col(ei0_ref) < 0, 1, 0),
+            col(ei1_ref), col(ej1_ref),
+            jnp.zeros((BT, 1), jnp.int32),
+            jnp.where(col(ei1_ref) < 0, 1, 0))
+    fin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    if n_chunks >= 2:
+        out_dma((n_chunks - 2) % 2, 1, 0).wait()
+        out_dma((n_chunks - 2) % 2, 1, 1).wait()
+    out_dma((n_chunks - 1) % 2, 0, 0).wait()
+    out_dma((n_chunks - 1) % 2, 0, 1).wait()
+    fi0_ref[:] = fin[0]
+    fj0_ref[:] = fin[1]
+    fi1_ref[:] = fin[4]
+    fj1_ref[:] = fin[5]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "block_b", "r_rows", "interpret"),
+)
+def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
+                    block_b: int = 64, r_rows: int = _RC,
+                    interpret: bool = False):
+    """Walk all pairs' tracebacks on device over the packed dirs plane.
+
+    Args: ``dirs`` [B2, Rp, W] uint8 (the AD kernel's nibble-packed
+    plane), ``dminq`` the parity-adjusted band starts [B], ``end_i`` /
+    ``end_j`` [B] end cells (pass -1 to skip a pair).  B = 2 * B2,
+    pair b on plane b // 2, parity slot b % 2.
+
+    Returns ``(trace0, trace1, fin_i, fin_j)``: op traces [B2, 2 * Rp]
+    uint8 indexed by antidiagonal (codes OP_*), and the walk's final
+    cursor [B] (the alignment start cell; anchored-start I/D tails are
+    the compactor's job).  Feed to
+    :func:`biseqt_tpu.native.compact_sweep_ops`.
+    """
+    B2, Rp, Wd = dirs.shape
+    assert Wd == W and W % 128 == 0
+    B = dminq.shape[0]        # may be < 2*B2 (the DP kernel pads planes)
+    assert B <= 2 * B2 and end_i.shape == (B,) and end_j.shape == (B,)
+    RC = min(r_rows, Rp)
+    Rpp = _round_up(Rp, RC)
+    if Rpp != Rp:
+        dirs = jnp.pad(dirs, ((0, 0), (0, Rpp - Rp), (0, 0)))
+    BT = block_b
+    Bp2 = _round_up(B2, BT)
+    if Bp2 != B2:
+        dirs = jnp.pad(dirs, ((0, Bp2 - B2), (0, 0), (0, 0)))
+
+    def prep(v, fill):
+        v = v.astype(jnp.int32)
+        v = jnp.pad(v, ((0, 2 * Bp2 - B),), constant_values=fill)
+        return v.reshape(Bp2, 2)
+
+    dq2 = prep(dminq, 0)
+    ei2 = prep(end_i, -1)
+    ej2 = prep(end_j, -1)
+
+    vspec = lambda: pl.BlockSpec((BT, 1), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, W=W, Rp=Rpp, BT=BT, RC=RC)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp2 // BT,),
+        in_specs=[vspec()] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[vspec()] * 4 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp2, 2 * Rpp), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp2, 2 * Rpp), jnp.uint8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BT, RC, W), jnp.uint8),       # dirs chunks
+            pltpu.VMEM((2, 2, BT, 2 * RC), jnp.uint8),   # trace chunks
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dq2[:, 0:1], dq2[:, 1:2], ei2[:, 0:1], ei2[:, 1:2],
+      ej2[:, 0:1], ej2[:, 1:2], dirs)
+    fi = jnp.stack([out[0][:, 0], out[1][:, 0]], axis=1).reshape(-1)[:B]
+    fj = jnp.stack([out[2][:, 0], out[3][:, 0]], axis=1).reshape(-1)[:B]
+    return out[4][:B2, :2 * Rp], out[5][:B2, :2 * Rp], fi, fj

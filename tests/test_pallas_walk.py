@@ -1,0 +1,110 @@
+"""On-device traceback sweep vs the native C++ walker (interpret mode).
+
+The sweep kernel (ops/pallas_walk.py) must reproduce the C++ AD
+walker's transcripts exactly — same op strings, same start cells —
+since both consume the same packed direction planes.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from biseqt_tpu import native
+from biseqt_tpu.ops.banded_dp import ModeFlags
+from biseqt_tpu.ops.pallas_dp_ad import (banded_dp_pallas_ad,
+                                         parity_adjusted_dmin)
+from biseqt_tpu.ops.pallas_walk import traceback_sweep
+
+FLAG_CASES = [
+    ModeFlags(local_start=True, local_end=True),
+    ModeFlags(),
+    ModeFlags(free_start_edges=True, free_end_edges=True),
+    ModeFlags(free_start_edges=True, local_end=True),
+]
+
+
+def _mk_batch(rng):
+    B, L = 5, 150
+    ss = rng.integers(0, 4, (B, L)).astype(np.int8)
+    ts = ss.copy()
+    m = rng.random((B, L)) < 0.15
+    ts[m] = (ts[m] + 1 + rng.integers(0, 3, m.sum())) % 4
+    s_lens = np.array([150, 140, 150, 130, 150], np.int32)
+    t_lens = np.array([148, 150, 135, 150, 150], np.int32)
+    dmin = np.array([-64, -63, -30, -80, -64], np.int32)
+    w_eff = np.array([100, 127, 64, 120, 127], np.int32)
+    return [jnp.asarray(x) for x in (ss, ts, s_lens, t_lens, dmin)], w_eff
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_device_walk_matches_native(rng, flags):
+    args, w_eff = _mk_batch(rng)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+              w_eff=jnp.asarray(w_eff))
+    res = banded_dp_pallas_ad(
+        *args, interpret=True, block_b=8, r_chunk=16, with_dirs=True,
+        **kw)
+    ss, ts, s_lens, t_lens, dmin = [np.asarray(a) for a in args]
+    B = ss.shape[0]
+    score = np.asarray(res.score)
+    dminq = parity_adjusted_dmin(dmin, np.arange(B, dtype=np.int32) % 2)
+    end_i = np.asarray(res.end_i).astype(np.int32)
+    end_j = np.asarray(res.end_j).astype(np.int32)
+    live = score > -1e29           # unreachable pairs have no transcript
+    ref_ops, ref_si, ref_sj = native.traceback_batch_ad(
+        np.asarray(res.dirs), dminq, ss, ts, s_lens, t_lens,
+        end_i, end_j, flags,
+    )
+    # mask unreachable pairs out of the sweep (-1 end = skip)
+    ei_m = np.where(live, end_i, -1).astype(np.int32)
+    ej_m = np.where(live, end_j, -1).astype(np.int32)
+    tr0, tr1, fi, fj = traceback_sweep(
+        jnp.asarray(res.dirs), jnp.asarray(dminq), jnp.asarray(ei_m),
+        jnp.asarray(ej_m), W=128, block_b=8, r_rows=8, interpret=True)
+    got_ops, got_si, got_sj = native.compact_sweep_ops(
+        np.asarray(tr0), np.asarray(tr1), np.asarray(fi), np.asarray(fj),
+        ss, ts, flags)
+    n_checked = 0
+    for b in range(B):
+        if not live[b]:
+            assert got_ops[b] == ""
+            continue
+        assert got_ops[b] == ref_ops[b], (b, flags)
+        assert got_si[b] == ref_si[b] and got_sj[b] == ref_sj[b], (
+            b, flags)
+        n_checked += 1
+    assert n_checked >= B - 1
+
+
+def test_device_walk_skewed_lengths(rng):
+    """The wrap-regression geometry: a 100-char T banding deep into a
+    600-char S (dmin=480); walks must match the C++ tracer there too."""
+    flags = ModeFlags(local_start=True, local_end=True)
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = np.asarray([600], np.int32)
+    tl = np.asarray([100], np.int32)
+    dmin = np.asarray([480], np.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+              w_eff=jnp.asarray([127], np.int32))
+    res = banded_dp_pallas_ad(
+        jnp.asarray(S), jnp.asarray(T), jnp.asarray(sl), jnp.asarray(tl),
+        jnp.asarray(dmin), interpret=True, block_b=8, r_chunk=16,
+        with_dirs=True, **kw)
+    dminq = parity_adjusted_dmin(dmin, np.arange(1, dtype=np.int32) % 2)
+    end_i = np.asarray(res.end_i).astype(np.int32)
+    end_j = np.asarray(res.end_j).astype(np.int32)
+    ref_ops, ref_si, ref_sj = native.traceback_batch_ad(
+        np.asarray(res.dirs), dminq, S, T, sl, tl, end_i, end_j, flags)
+    tr0, tr1, fi, fj = traceback_sweep(
+        jnp.asarray(res.dirs), jnp.asarray(dminq), jnp.asarray(end_i),
+        jnp.asarray(end_j), W=128, block_b=8, r_rows=8, interpret=True)
+    got_ops, got_si, got_sj = native.compact_sweep_ops(
+        np.asarray(tr0), np.asarray(tr1), np.asarray(fi), np.asarray(fj),
+        S, T, flags)
+    assert got_ops[0] == ref_ops[0]
+    assert (got_si[0], got_sj[0]) == (ref_si[0], ref_sj[0])
+    assert got_ops[0].count("M") > 90
