@@ -116,10 +116,43 @@ def main():
     dt_dk = (time.time() - t0) / nd
     gcups_dirs_kernel = Bd * 10000 * BW / dt_dk / 1e9
 
-    # (b) end-to-end transcripts: D2H of one packed plane + batched C++
-    # walk.  In THIS environment the tunnel D2H runs at ~34 MB/s, ~500x
-    # below production PCIe, and dominates end-to-end (see BASELINE.md);
-    # d2h_mbps is reported so the artifact is explicit.
+    # (b) end-to-end transcripts via the ON-DEVICE sweep walk
+    # (ops/pallas_walk.py): the dirs plane never leaves HBM — the walk
+    # kernel consumes it in place and ships a 1-byte-per-step op trace
+    # (~64x less D2H than the plane), compacted to MSID strings by one
+    # C++ pass.  Timed end to end: DP kernel + sweep + trace D2H +
+    # compaction, pipelined over nd fresh batches like the score bench.
+    from biseqt_tpu.ops.pallas_walk import traceback_sweep
+
+    dminq_j = jnp.asarray(dminq)
+
+    def launch_tx(a):
+        r = banded_dp_pallas_ad(*a, w_eff=w_eff_d, with_dirs=True, **kw)
+        return a, r, traceback_sweep(
+            r.dirs, dminq_j, r.end_i.astype(jnp.int32),
+            r.end_j.astype(jnp.int32), W=W)
+
+    _, _, wwarm = launch_tx(mkargs_d(0))
+    jax.block_until_ready(wwarm[0])           # compile the sweep
+    fl = ModeFlags(local_start=True, local_end=True)
+    txsets = [mkargs_d(k + 101) for k in range(nd)]
+    for a in txsets:
+        jax.block_until_ready(a)
+    t0 = time.time()
+    outs_tx = [launch_tx(a) for a in txsets]
+    n_ops = 0
+    for a, r, (tr0, tr1, fi, fj) in outs_tx:
+        opss, _, _ = native.compact_sweep_ops(
+            np.asarray(tr0), np.asarray(tr1), np.asarray(fi),
+            np.asarray(fj), np.asarray(a[0]), np.asarray(a[1]), fl)
+        n_ops += sum(len(o) for o in opss)
+    dt_tx = (time.time() - t0) / nd
+    assert n_ops > 0
+    gcups_tx = Bd * 10000 * BW / dt_tx / 1e9
+
+    # (c) the legacy host-walk path's D2H artifact, reported so the
+    # environment's ~20-30 MB/s tunnel (vs 10-30 GB/s production PCIe)
+    # stays explicit: one packed plane timed through np.asarray
     res = outs_d[-1]
     hs, ht = np.asarray(adsets[-1][0]), np.asarray(adsets[-1][1])
     t0 = time.time()
@@ -128,12 +161,11 @@ def main():
     t0 = time.time()
     opss, _, _ = native.traceback_batch_ad(
         dirs_h, dminq, hs, ht, lens_h, lens_h,
-        np.asarray(res.end_i), np.asarray(res.end_j),
-        ModeFlags(local_start=True, local_end=True),
+        np.asarray(res.end_i), np.asarray(res.end_j), fl,
     )
     dt_walk = time.time() - t0
     assert sum(len(o) for o in opss) > 0
-    gcups_tx = Bd * 10000 * BW / (dt_dk + dt_d2h + dt_walk) / 1e9
+    gcups_tx_host = Bd * 10000 * BW / (dt_dk + dt_d2h + dt_walk) / 1e9
 
     print(json.dumps({
         "metric": "banded_sw_gcups",
@@ -142,6 +174,7 @@ def main():
         "vs_baseline": round(gcups / 50.0, 3),
         "gcups_dirs_kernel": round(gcups_dirs_kernel, 2),
         "gcups_transcripts_e2e": round(gcups_tx, 2),
+        "gcups_transcripts_hostwalk": round(gcups_tx_host, 2),
         "d2h_mbps": round(dirs_h.nbytes / 1e6 / dt_d2h, 1),
         "walk_s": round(dt_walk, 3),
     }))

@@ -51,7 +51,8 @@ def _bucket(n, mini=128):
 def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
                     subst=None, go_score=-3.0, ge_score=-1.0,
                     use_pallas: bool = None, pad_radius: int = 16,
-                    pad_a: int = 512, with_transcripts: bool = False):
+                    pad_a: int = 512, with_transcripts: bool = False,
+                    device_walk: bool = True):
     """Batched banded extension of Word-Blot candidate segments.
 
     Each segment's (d, a) rectangle maps to subsequences
@@ -180,14 +181,40 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             if ad:
                 from .ops.pallas_dp_ad import parity_adjusted_dmin
 
-                dminq = parity_adjusted_dmin(
-                    dmin[:n], np.arange(n, dtype=np.int32) % 2
-                )
-                g_ops, g_si, g_sj = native.traceback_batch_ad(
-                    np.asarray(res.dirs), dminq, s_codes[:n], t_codes[:n],
-                    s_lens[:n], t_lens[:n], np.asarray(res.end_i)[:n],
-                    np.asarray(res.end_j)[:n], flags,
-                )
+                if device_walk:
+                    # on-device sweep walk + host compaction: ships a
+                    # 1-byte-per-step op trace instead of the W/2-byte
+                    # dirs plane — the D2H that dominated transcript
+                    # mode (see ops/pallas_walk.py).  Padding pairs are
+                    # masked out (-1 ends) on device.
+                    from .ops.pallas_walk import traceback_sweep
+
+                    dminq_p = parity_adjusted_dmin(
+                        dmin, np.arange(n_pad, dtype=np.int32) % 2
+                    )
+                    real = jnp.arange(n_pad, dtype=jnp.int32) < n
+                    tr0, tr1, fi, fj = traceback_sweep(
+                        res.dirs, jnp.asarray(dminq_p),
+                        jnp.where(real, res.end_i.astype(jnp.int32), -1),
+                        jnp.where(real, res.end_j.astype(jnp.int32), -1),
+                        W=W,
+                        block_b=min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
+                    )
+                    g_ops, g_si, g_sj = native.compact_sweep_ops(
+                        np.asarray(tr0), np.asarray(tr1),
+                        np.asarray(fi)[:n], np.asarray(fj)[:n],
+                        s_codes[:n], t_codes[:n], flags,
+                    )
+                else:
+                    dminq = parity_adjusted_dmin(
+                        dmin[:n], np.arange(n, dtype=np.int32) % 2
+                    )
+                    g_ops, g_si, g_sj = native.traceback_batch_ad(
+                        np.asarray(res.dirs), dminq, s_codes[:n],
+                        t_codes[:n], s_lens[:n], t_lens[:n],
+                        np.asarray(res.end_i)[:n],
+                        np.asarray(res.end_j)[:n], flags,
+                    )
             else:
                 g_ops, g_si, g_sj = native.traceback_batch(
                     np.asarray(res.dirs), dmin[:n] + (W - 1), s_codes[:n],

@@ -191,8 +191,17 @@ def main():
     kwt = dict(kwb)
     kwt["w_eff"] = jnp.full((Bt,), BW, jnp.int32)
     kwt["block_b"] = 128
+    from biseqt_tpu.ops.pallas_walk import traceback_sweep
+
+    dminq_t = parity_adjusted_dmin(
+        np.full((Bt,), -(BW // 2), np.int32),
+        np.arange(Bt, dtype=np.int32) % 2,
+    )
     rest = banded_dp_pallas_ad(*targs, with_dirs=True, **kwt)
     _ = np.asarray(rest.score)  # compile
+    _ = np.asarray(traceback_sweep(       # compile the sweep walker too
+        rest.dirs, jnp.asarray(dminq_t), rest.end_i.astype(jnp.int32),
+        rest.end_j.astype(jnp.int32), W=128)[0])
     rr4 = np.random.default_rng(int(time.time()) ^ 0xFADE)
     targs2 = [jnp.asarray(x) for x in (
         rr4.integers(0, 4, (Bt, Lb), dtype=np.int8),
@@ -203,10 +212,6 @@ def main():
     t0 = time.time()
     rest = banded_dp_pallas_ad(*targs2, with_dirs=True, **kwt)
     dirs_h = np.asarray(rest.dirs)
-    dminq_t = parity_adjusted_dmin(
-        np.full((Bt,), -(BW // 2), np.int32),
-        np.arange(Bt, dtype=np.int32) % 2,
-    )
     opst, _, _ = native.traceback_batch_ad(
         dirs_h, dminq_t, np.asarray(targs2[0]), np.asarray(targs2[1]),
         np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
@@ -217,6 +222,41 @@ def main():
           gcups_tx > 0.5 and all(len(o) >= 0 for o in opst),
           f"{gcups_tx:.1f} GCUPS end-to-end transcripts")
     out["gcups_transcripts"] = round(gcups_tx, 2)
+
+    # on-device sweep walk: transcripts must match the C++ walker byte
+    # for byte on the same dirs planes, and the end-to-end path (kernel
+    # + sweep + trace D2H + compaction) must clear a bar the dirs-D2H
+    # path cannot (it measures ~0.03 GCUPS through this tunnel)
+    # correctness on the SAME planes as the C++ walker above
+    tr0, tr1, fi, fj = traceback_sweep(
+        rest.dirs, jnp.asarray(dminq_t), rest.end_i.astype(jnp.int32),
+        rest.end_j.astype(jnp.int32), W=128)
+    ops_dev, si_dev, sj_dev = native.compact_sweep_ops(
+        np.asarray(tr0), np.asarray(tr1), np.asarray(fi), np.asarray(fj),
+        np.asarray(targs2[0]), np.asarray(targs2[1]),
+        ModeFlags(local_start=True, local_end=True))
+    check("device_walk_transcripts", list(ops_dev) == list(opst))
+    # throughput on FRESH inputs (the tunnel caches identical launches)
+    rr5 = np.random.default_rng(int(time.time()) ^ 0xBEEF)
+    targs3 = [jnp.asarray(x) for x in (
+        rr5.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        rr5.integers(0, 4, (Bt, Lb), dtype=np.int8),
+        np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
+        np.full((Bt,), -(BW // 2), np.int32))]
+    jax.block_until_ready(targs3)
+    t0 = time.time()
+    rest2 = banded_dp_pallas_ad(*targs3, with_dirs=True, **kwt)
+    tr0, tr1, fi, fj = traceback_sweep(
+        rest2.dirs, jnp.asarray(dminq_t), rest2.end_i.astype(jnp.int32),
+        rest2.end_j.astype(jnp.int32), W=128)
+    ops_dev2, _, _ = native.compact_sweep_ops(
+        np.asarray(tr0), np.asarray(tr1), np.asarray(fi), np.asarray(fj),
+        np.asarray(targs3[0]), np.asarray(targs3[1]),
+        ModeFlags(local_start=True, local_end=True))
+    gcups_dw = Bt * 10000 * BW / (time.time() - t0) / 1e9
+    check("device_walk_throughput", gcups_dw > 2.0,
+          f"{gcups_dw:.1f} GCUPS")
+    out["gcups_transcripts_device_walk"] = round(gcups_dw, 2)
 
     out["ok"] = ok_all
     out["elapsed_s"] = round(time.time() - t_start, 1)
