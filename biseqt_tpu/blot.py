@@ -251,13 +251,19 @@ class WordBlot:
                 yield self._best_fallback(K_min, p_min)
             return
         labels, n_comp = ndimage.label(hot, structure=np.ones((3, 3)))
-        found = 0
+        # bounding boxes in ONE pass: at spec scale (~100 kbp, low p_min)
+        # the noise floor alone makes tens of thousands of hot
+        # components, and a per-component `nonzero(labels == comp)` scan
+        # is O(n_comp * grid_cells) — measured: a 2 x 100 kbp p_min=0.5
+        # call ran 10+ minutes; find_objects makes it linear
+        boxes = ndimage.find_objects(labels)
+        cand = []
         for comp in range(1, n_comp + 1):
-            cells = np.nonzero(labels == comp)
-            d_lo = int(cells[0].min()) * dcell
-            d_hi = (int(cells[0].max()) + 1) * dcell - 1
-            a_lo = int(cells[1].min()) * acell
-            a_hi = (int(cells[1].max()) + 1) * acell - 1
+            sl_d, sl_a = boxes[comp - 1]
+            d_lo = int(sl_d.start) * dcell
+            d_hi = int(sl_d.stop) * dcell - 1
+            a_lo = int(sl_a.start) * acell
+            a_hi = int(sl_a.stop) * acell - 1
             n = self.seed_index.seed_count(
                 d_band=(d_lo - lt, d_hi - lt), a_band=(a_lo, a_hi)
             )
@@ -269,20 +275,48 @@ class WordBlot:
                          float(min(len(self.S), len(self.T))))
             if seglen < K_min:
                 continue
-            area = (d_hi - d_lo + 1) * seglen
-            p_hat = self.estimate_match_probability(n, seglen)
-            if p_hat < p_min:
-                continue
-            s0, s1 = self.score_num_seeds(n, area, seglen, p_hat)
+            cand.append((d_lo, d_hi, a_lo, a_hi, n, seglen))
+        found = 0
+        for seg in self._emit_components(cand, p_min):
             found += 1
-            yield {
-                "segment": ((d_lo - lt, d_hi - lt), (a_lo, a_hi)),
-                "p": p_hat,
-                "score": (s0, s1),
-                "num_seeds": n,
-            }
+            yield seg
         if found == 0 and at_least_one:
             yield self._best_fallback(K_min, p_min)
+
+    def _emit_components(self, cand, p_min):
+        """Score candidate boxes [(d_lo, d_hi, a_lo, a_hi, n, seglen)]
+        and yield the surviving segment dicts.
+
+        ONE vectorized stats launch over every component: the formulas
+        are trivial, but per-component scalar jnp calls each pay this
+        environment's ~32 ms dispatch floor — at spec scale (100 kbp,
+        low p_min) the noise floor alone makes tens of thousands of
+        components (measured: a 2 x 100 kbp p_min=0.5 discovery spent
+        10+ minutes in per-component dispatches)."""
+        if not cand:
+            return
+        lt = len(self.T)
+        arr = np.asarray(cand, np.float64)
+        ns = jnp.asarray(arr[:, 4], jnp.float32)
+        seglens = jnp.asarray(arr[:, 5], jnp.float32)
+        areas = jnp.asarray((arr[:, 1] - arr[:, 0] + 1) * arr[:, 5],
+                            jnp.float32)
+        p_hats = np.asarray(blot_stats.estimate_match_probability(
+            ns, seglens, self.wordlen))
+        s0s, s1s = blot_stats.h0_h1_scores(
+            ns, areas, seglens, jnp.asarray(p_hats), self.wordlen,
+            len(self.S.alphabet))
+        s0s, s1s = np.asarray(s0s), np.asarray(s1s)
+        for k, (d_lo, d_hi, a_lo, a_hi, n, seglen) in enumerate(cand):
+            if p_hats[k] < p_min:
+                continue
+            yield {
+                "segment": ((int(d_lo) - lt, int(d_hi) - lt),
+                            (int(a_lo), int(a_hi))),
+                "p": float(p_hats[k]),
+                "score": (float(s0s[k]), float(s1s[k])),
+                "num_seeds": int(n),
+            }
 
     def _segments_sparse(self, K_min, p_min, dcell, acell,
                          at_least_one=False):
@@ -347,7 +381,7 @@ class WordBlot:
         for idx in range(len(run_d)):
             comps.setdefault(find(idx), []).append(idx)
 
-        found = 0
+        cand = []
         for members in comps.values():
             ms = np.asarray(members)
             d_lo = int(run_d[ms].min()) * dcell
@@ -363,18 +397,11 @@ class WordBlot:
                          1.0)
             if seglen < K_min:
                 continue
-            p_hat = self.estimate_match_probability(n, seglen)
-            if p_hat < p_min:
-                continue
-            area = (d_hi - d_lo + 1) * seglen
-            s0, s1 = self.score_num_seeds(n, area, seglen, p_hat)
+            cand.append((d_lo, d_hi, a_lo, a_hi, n, seglen))
+        found = 0
+        for seg in self._emit_components(cand, p_min):
             found += 1
-            yield {
-                "segment": ((d_lo - lt, d_hi - lt), (a_lo, a_hi)),
-                "p": p_hat,
-                "score": (s0, s1),
-                "num_seeds": n,
-            }
+            yield seg
         if found == 0 and at_least_one:
             yield self._best_fallback(K_min, p_min)
 
