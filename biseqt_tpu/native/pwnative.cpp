@@ -389,29 +389,32 @@ int bst_traceback_ad_window_batch(
 
 // Compact the on-device sweep walker's op traces into MSID transcripts
 // (biseqt_tpu.ops.pallas_walk.traceback_sweep produces them: per-pair
-// op codes indexed by antidiagonal a, 0 none / 1 diag / 2 ins / 3 del;
-// pairs (2*b2, 2*b2+1) own planes tr0[b2] / tr1[b2]).  An op emitted at
-// a is the move LEAVING the cell on antidiagonal a, and the backward
-// walk visits strictly descending a, so an ascending scan from the
-// walk's final cursor (fin_i, fin_j) — the alignment START — replays
-// the path forward: diag at (i, j) consumes s[i] / t[j].  Anchored
-// modes prepend the D^i I^j tail exactly like bst_traceback's
-// post-walk loop (reversed: D's first).  fin_i < 0 marks a skipped
-// pair (empty transcript).
+// 2-BIT op codes packed 4 per byte — antidiagonal a's code sits in
+// bits 2*(a % 4) of byte a / 4 of plane row b/2 of trace b%2 — codes
+// 0 none / 1 diag / 2 ins / 3 del).  An op emitted at a is the move
+// LEAVING the cell on antidiagonal a, and the backward walk visits
+// strictly descending a, so an ascending scan from the walk's final
+// cursor (fin_i, fin_j) — the alignment START — replays the path
+// forward: diag at (i, j) consumes s[i] / t[j].  Anchored modes
+// prepend the D^i I^j tail exactly like bst_traceback's post-walk loop
+// (reversed: D's first).  fin_i < 0 marks a skipped pair (empty
+// transcript).  atr_bytes = trace bytes per plane row (covers
+// 4 * atr_bytes antidiagonals).
 int bst_compact_sweep_batch(
-        const uint8_t* tr0, const uint8_t* tr1, int atr,
+        const uint8_t* tr0, const uint8_t* tr1, int atr_bytes,
         const int8_t* s, int ls_cap, const int8_t* t, int lt_cap,
         const int32_t* fin_i, const int32_t* fin_j,
         int flags, int B, int ops_stride,
         char* ops_out, int32_t* ops_len) {
     const bool anchored = !(flags & (LOCAL_START | FREE_START_EDGES));
+    const long atr = 4L * atr_bytes;
     for (int b = 0; b < B; ++b) {
         char* ops = ops_out + (size_t)b * ops_stride;
         int i = fin_i[b], j = fin_j[b];
         int n = 0;
         if (i < 0 || j < 0) { ops[0] = '\0'; ops_len[b] = 0; continue; }
         const uint8_t* plane =
-            ((b & 1) ? tr1 : tr0) + (size_t)(b / 2) * atr;
+            ((b & 1) ? tr1 : tr0) + (size_t)(b / 2) * atr_bytes;
         const int8_t* sb = s + (size_t)b * ls_cap;
         const int8_t* tb = t + (size_t)b * lt_cap;
         bool bad = false;
@@ -419,8 +422,8 @@ int bst_compact_sweep_batch(
             for (int k = 0; k < i; ++k) ops[n++] = 'D';
             for (int k = 0; k < j; ++k) ops[n++] = 'I';
         }
-        for (int a = i + j; a < atr && !bad; ++a) {
-            uint8_t op = plane[a];
+        for (long a = i + j; a < atr && !bad; ++a) {
+            uint8_t op = (plane[a >> 2] >> (2 * (a & 3))) & 3;
             if (op == 0) continue;
             if (n >= ops_stride - 1) { bad = true; break; }
             if (op == 1) {
@@ -428,10 +431,8 @@ int bst_compact_sweep_batch(
                 ++i; ++j;
             } else if (op == 2) {
                 ops[n++] = 'I'; ++j;
-            } else if (op == 3) {
-                ops[n++] = 'D'; ++i;
             } else {
-                bad = true;
+                ops[n++] = 'D'; ++i;
             }
         }
         ops[n] = '\0';

@@ -67,7 +67,15 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
     row0 = b * BT
     n_chunks = Rp // RC
     lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
-    steps = jax.lax.broadcasted_iota(jnp.int32, (BT, 2 * RC), 1)
+    # op codes are 2 bits — pack 4 antidiagonal steps per trace byte
+    # (the trace D2H is the transcript path's remaining transfer).
+    # Mosaic requires 128-aligned trailing slices, so the packed bytes
+    # accumulate in a [BT, 128] register value carried across a GROUP
+    # of 4 chunks (4 * 2*RC steps = 128 bytes) and flush once per group
+    # with a synchronous ~8 KB DMA at the group's low chunk.
+    steps_q = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+    assert 256 % RC == 0 and RC % 2 == 0, RC
+    GPC = 256 // RC            # chunks per 128-byte trace group
 
     dq0, dq1 = dq0_ref[:, :1], dq1_ref[:, :1]
 
@@ -85,13 +93,13 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
             dbuf.at[slot], sems.at[slot],
         ).wait()
 
-    def out_dma(slot, c, par):
-        base = pl.multiple_of(c * (2 * RC), 2 * RC)
+    def out_dma(g, par):
+        base = pl.multiple_of(g * 128, 128)
         hbm = tr0_hbm if par == 0 else tr1_hbm
         return pltpu.make_async_copy(
-            obuf.at[slot, par],
-            hbm.at[pl.ds(row0, BT), pl.ds(base, 2 * RC)],
-            osems.at[slot, par],
+            obuf.at[par],
+            hbm.at[pl.ds(row0, BT), pl.ds(base, 128)],
+            osems.at[par],
         )
 
     start_dma(0, n_chunks - 1)
@@ -137,18 +145,11 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
     def chunk_body(cc, carry):
         c = n_chunks - 1 - cc
         slot = cc % 2
-        i0, j0, st0, dn0, i1, j1, st1, dn1 = carry
+        i0, j0, st0, dn0, i1, j1, st1, dn1, acc0, acc1 = carry
 
         @pl.when(cc + 1 < n_chunks)
         def _():
             start_dma(1 - slot, c - 1)
-
-        # the slot's previous trace write-out must have landed before
-        # this chunk rebuilds obuf[slot]
-        @pl.when(cc >= 2)
-        def _():
-            out_dma(slot, c + 2, 0).wait()
-            out_dma(slot, c + 2, 1).wait()
 
         wait_dma(slot, c)
         chunk = dbuf[slot].astype(jnp.int32)      # [BT, RC, W]
@@ -158,8 +159,8 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         hi = ((chunk - lo).astype(jnp.float32)
               * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
 
-        acc0 = jnp.zeros((BT, 2 * RC), jnp.int32)
-        acc1 = jnp.zeros((BT, 2 * RC), jnp.int32)
+        # trace byte lane within this chunk's 128-byte group
+        lane0 = (c % GPC) * (RC // 2)
         for rr in reversed(range(2 * RC)):
             r, q = rr // 2, rr % 2
             nib_row = (hi if q else lo)[:, r, :]
@@ -170,31 +171,41 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
                                               dn0, dq0)
             op1, i1, j1, st1, dn1 = step_walk(nib_row, a, i1, j1, st1,
                                               dn1, dq1)
-            sel = steps == rr
-            acc0 = jnp.where(sel, op0, acc0)
-            acc1 = jnp.where(sel, op1, acc1)
+            sel = steps_q == lane0 + rr // 4
+            w = 1 << (2 * (rr % 4))   # 2-bit field (rr % 4) of the byte
+            acc0 = jnp.where(sel, acc0 + op0 * w, acc0)
+            acc1 = jnp.where(sel, acc1 + op1 * w, acc1)
 
-        obuf[slot, 0] = acc0.astype(jnp.uint8)
-        obuf[slot, 1] = acc1.astype(jnp.uint8)
-        out_dma(slot, c, 0).start()
-        out_dma(slot, c, 1).start()
-        return (i0, j0, st0, dn0, i1, j1, st1, dn1)
+        # flush at the group's LOW chunk (processing order is
+        # descending, so c % GPC == 0 closes its group); ~8 KB,
+        # synchronous — negligible once per GPC chunks
+        @pl.when(c % GPC == 0)
+        def _():
+            obuf[0] = acc0.astype(jnp.uint8)
+            obuf[1] = acc1.astype(jnp.uint8)
+            out_dma(c // GPC, 0).start()
+            out_dma(c // GPC, 1).start()
+            out_dma(c // GPC, 0).wait()
+            out_dma(c // GPC, 1).wait()
+
+        flushed = (c % GPC) == 0
+        zero = jnp.zeros((BT, 128), jnp.int32)
+        acc0 = jnp.where(flushed, zero, acc0)
+        acc1 = jnp.where(flushed, zero, acc1)
+        return (i0, j0, st0, dn0, i1, j1, st1, dn1, acc0, acc1)
 
     def col(ref):
         return ref[:, :1]
 
+    zacc = jnp.zeros((BT, 128), jnp.int32)
     init = (col(ei0_ref), col(ej0_ref),
             jnp.zeros((BT, 1), jnp.int32),
             jnp.where(col(ei0_ref) < 0, 1, 0),
             col(ei1_ref), col(ej1_ref),
             jnp.zeros((BT, 1), jnp.int32),
-            jnp.where(col(ei1_ref) < 0, 1, 0))
+            jnp.where(col(ei1_ref) < 0, 1, 0),
+            zacc, zacc)
     fin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-    if n_chunks >= 2:
-        out_dma((n_chunks - 2) % 2, 1, 0).wait()
-        out_dma((n_chunks - 2) % 2, 1, 1).wait()
-    out_dma((n_chunks - 1) % 2, 0, 0).wait()
-    out_dma((n_chunks - 1) % 2, 0, 1).wait()
     fi0_ref[:] = fin[0]
     fj0_ref[:] = fin[1]
     fi1_ref[:] = fin[4]
@@ -215,10 +226,11 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     ``end_j`` [B] end cells (pass -1 to skip a pair).  B = 2 * B2,
     pair b on plane b // 2, parity slot b % 2.
 
-    Returns ``(trace0, trace1, fin_i, fin_j)``: op traces [B2, 2 * Rp]
-    uint8 indexed by antidiagonal (codes OP_*), and the walk's final
-    cursor [B] (the alignment start cell; anchored-start I/D tails are
-    the compactor's job).  Feed to
+    Returns ``(trace0, trace1, fin_i, fin_j)``: 2-bit-packed op traces
+    [B2, Rp // 2] uint8 — antidiagonal ``a``'s op code (OP_*) sits in
+    bits ``2*(a % 4)`` of byte ``a // 4`` — and the walk's final cursor
+    [B] (the alignment start cell; anchored-start I/D tails are the
+    compactor's job).  Feed to
     :func:`biseqt_tpu.native.compact_sweep_ops`.
     """
     B2, Rp, Wd = dirs.shape
@@ -229,6 +241,9 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     Rpp = _round_up(Rp, RC)
     if Rpp != Rp:
         dirs = jnp.pad(dirs, ((0, 0), (0, Rpp - Rp), (0, 0)))
+    # trace bytes per plane row (4 steps/byte), padded to whole
+    # 128-byte flush groups
+    TRb = _round_up(Rpp // 2, 128)
     BT = block_b
     Bp2 = _round_up(B2, BT)
     if Bp2 != B2:
@@ -259,14 +274,14 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
             jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
             jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
             jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp2, 2 * Rpp), jnp.uint8),
-            jax.ShapeDtypeStruct((Bp2, 2 * Rpp), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp2, TRb), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp2, TRb), jnp.uint8),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, BT, RC, W), jnp.uint8),       # dirs chunks
-            pltpu.VMEM((2, 2, BT, 2 * RC), jnp.uint8),   # trace chunks
+            pltpu.VMEM((2, BT, 128), jnp.uint8),         # trace groups
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -276,4 +291,4 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
       ej2[:, 0:1], ej2[:, 1:2], dirs)
     fi = jnp.stack([out[0][:, 0], out[1][:, 0]], axis=1).reshape(-1)[:B]
     fj = jnp.stack([out[2][:, 0], out[3][:, 0]], axis=1).reshape(-1)[:B]
-    return out[4][:B2, :2 * Rp], out[5][:B2, :2 * Rp], fi, fj
+    return out[4][:B2], out[5][:B2], fi, fj
