@@ -36,9 +36,33 @@ from .tables import build_kmer_table, KEY_SENTINEL
 __all__ = ["overlap_stats_sorted", "overlap_stats_sorted_chunked"]
 
 
+def auto_max_run(n_reads: int, L: int, wordlen: int,
+                 alphabet_len: int = 4) -> int:
+    """Partner cap sized to the expected k-mer run length.
+
+    In all-vs-all the mean run length is mu = N*L / |Sigma|^w (coverage
+    co-occurrences + uniform collisions).  A cap far below mu samples a
+    biased sliver of each run — entries are (key, read, pos)-sorted, so
+    far-apart read indices almost never land within the cap, and true
+    pairs' seed counts collapse (measured: config 4 at a 100 kbp genome
+    with the old fixed cap of 4 had recall 0.26; at 2.5x mu it is ~1).
+    Cost is linear in the cap (O(2 * cap * total_kmers) int32 expansion
+    plus a same-size sort), so the cap is also bounded by an element
+    budget: 2 * cap * total_kmers <= 256M (~1 GB of composites — the
+    un-budgeted 96-cap expansion at 1000 x 10 kbp crashed the TPU worker
+    with the sort workspace on top).  Runs past the budgeted cap lose
+    only their tail partners (~90% of co-occurrences survive at the
+    1000-read config, vs ~9% with the old fixed cap of 4).
+    """
+    mu = n_reads * max(L, 1) / float(alphabet_len ** wordlen)
+    cap = int(np.clip(np.ceil(2.5 * mu), 8, 96))
+    budget = (256 << 20) // max(2 * n_reads * L, 1)
+    return max(8, min(cap, budget))
+
+
 def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
                                  n_reads: int, alphabet_len: int = 4,
-                                 bucket: int = 64, max_run: int = 4,
+                                 bucket: int = 64, max_run: int = None,
                                  max_chunk: int = None,
                                  min_window: int = 5):
     """:func:`overlap_stats_sorted` for any N: when the int32 composite
@@ -87,7 +111,7 @@ def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
 )
 def overlap_stats_sorted(codes, lengths, *, wordlen: int,
                          n_reads: int, alphabet_len: int = 4,
-                         bucket: int = 64, max_run: int = 4,
+                         bucket: int = 64, max_run: int = None,
                          n_local: int = None, q_lo=None,
                          min_window: int = 5):
     """Best-overlap-band statistics for every ordered read pair.
@@ -95,7 +119,11 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     Args:
         codes: int8 [N, L]; lengths: int32 [N]; ``n_reads`` == N (static).
         bucket: diagonal bucket width (band resolution).
-        max_run: per-entry partner cap within a k-mer run (repeat guard).
+        max_run: per-entry partner cap within a k-mer run (repeat
+            guard); None (default) sizes it to the expected run length
+            via :func:`auto_max_run` — a fixed small cap silently
+            collapses seed counts once coverage or collision density
+            pushes runs past it.
         n_local / q_lo: optionally restrict query rows to the window
             ``[q_lo, q_lo + n_local)`` — the mesh-sharded mode, where each
             device owns a row block of the pair matrix (q_lo may be a
@@ -109,6 +137,8 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
 
     N, L = codes.shape
     assert N == n_reads
+    if max_run is None:   # trace-time: shapes are static under jit
+        max_run = auto_max_run(n_reads, L, wordlen, alphabet_len)
     if n_local is None:
         n_local = N
         q_lo = 0

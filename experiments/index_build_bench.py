@@ -60,12 +60,12 @@ def main():
 
     w_join = max(w, 12) if N * L > 2_000_000 else w  # scale-appropriate k
     stats = overlap_stats_sorted(
-        codes_w, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
+        codes_w, lens, wordlen=w_join, n_reads=N, bucket=64
     )
     _ = np.asarray(stats["s0"])
     t0 = time.time()
     stats = overlap_stats_sorted(
-        codes, lens, wordlen=w_join, n_reads=N, bucket=64, max_run=4
+        codes, lens, wordlen=w_join, n_reads=N, bucket=64
     )
     _ = np.asarray(stats["s0"])
     t_all = time.time() - t0

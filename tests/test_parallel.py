@@ -347,6 +347,42 @@ def test_sorted_allvsall_chunked_matches_unchunked(rng):
         np.testing.assert_array_equal(np.asarray(got[k]), ref[k], err_msg=k)
 
 
+def test_sorted_allvsall_auto_max_run_coverage_regime(rng):
+    """A fixed partner cap far below the k-mer run length collapses
+    seed counts for far-apart read indices (entries are (key, read,
+    pos)-sorted): at 100 kbp / 30x coverage config-4 recall measured
+    0.26.  The auto cap must recover the window counts a small cap
+    loses."""
+    from biseqt_tpu.ops.allvsall_sorted import (
+        overlap_stats_sorted, auto_max_run,
+    )
+
+    glen, rlen, n = 2048, 256, 24
+    genome = rng.integers(0, 4, glen, dtype=np.int8)
+    reads = np.zeros((n, 256), np.int8)
+    # wordlen 4 -> 256 keys, mean run length ~ n*rlen/256 = 24: the
+    # coverage regime where a cap of 4 samples a sliver of each run
+    for k in range(n):
+        s = (k * 83) % (glen - rlen)
+        reads[k] = genome[s:s + rlen]
+    lens = np.full((n,), rlen, np.int32)
+    assert auto_max_run(n, 256, 4) >= 24
+    kw = dict(wordlen=4, n_reads=n, bucket=32)
+    full = overlap_stats_sorted(jnp.asarray(reads), jnp.asarray(lens),
+                                **kw)
+    capped = overlap_stats_sorted(jnp.asarray(reads), jnp.asarray(lens),
+                                  max_run=4, **kw)
+    # reads 0 and 22 overlap by rlen - 34 exact columns (22 * 83 wraps
+    # to genome offset 34) but have FAR-APART indices: their entries in
+    # every shared k-mer's (key, read, pos)-sorted run are separated by
+    # all the intervening covering reads' entries, so a cap of 4 almost
+    # never reaches across — the regime that collapsed config-4 recall
+    w_full = int(np.asarray(full["window"])[0, 22])
+    w_capped = int(np.asarray(capped["window"])[0, 22])
+    assert w_full >= (rlen - 34) // 2, (w_full, w_capped)
+    assert w_full >= 2 * max(w_capped, 1), (w_full, w_capped)
+
+
 def test_band_sharded_row0_ends(rng):
     """Degenerate geometry across the sharded row engine: free-end
     optimum on row 0 and an empty-origin global pair must match the
