@@ -25,10 +25,13 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Tuple
 
+import functools
+
 import numpy as np
 from scipy.special import erfcinv
 from scipy import ndimage
 
+import jax
 import jax.numpy as jnp
 
 from .sequence import Sequence
@@ -45,6 +48,18 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # band geometry math
 # ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
+def _component_stats(ns, areas, seglens, *, wordlen: int,
+                     alphabet_len: int):
+    """p-hat + H0/H1 scores for a batch of candidate components in ONE
+    dispatch (the eager chain is ~26 separate ~32 ms dispatches through
+    this environment's tunnel)."""
+    p = blot_stats.estimate_match_probability(ns, seglens, wordlen)
+    s0, s1 = blot_stats.h0_h1_scores(ns, areas, seglens, p, wordlen,
+                                     alphabet_len)
+    return p, s0, s1
+
 
 def band_radius(K, gap_prob, sensitivity=0.99):
     """Diagonal band radius containing a length-K alignment w.p. sensitivity.
@@ -297,15 +312,24 @@ class WordBlot:
             return
         lt = len(self.T)
         arr = np.asarray(cand, np.float64)
+        # bucket the component count: these are EAGER jnp ops, and every
+        # distinct length is a fresh remote compile in this environment
+        # (measured: fixed-ref queries spent 10+ s/query recompiling the
+        # stats chain because n_cand differs per query); padding rows
+        # are inert (seglen 1, n 0) and sliced off below
+        from .seeds import _shape_bucket
+
+        pad = _shape_bucket(len(cand), mini=64)
+        arr = np.pad(arr, ((0, pad - len(cand)), (0, 0)))
+        arr[len(cand):, 5] = 1.0
         ns = jnp.asarray(arr[:, 4], jnp.float32)
         seglens = jnp.asarray(arr[:, 5], jnp.float32)
         areas = jnp.asarray((arr[:, 1] - arr[:, 0] + 1) * arr[:, 5],
                             jnp.float32)
-        p_hats = np.asarray(blot_stats.estimate_match_probability(
-            ns, seglens, self.wordlen))
-        s0s, s1s = blot_stats.h0_h1_scores(
-            ns, areas, seglens, jnp.asarray(p_hats), self.wordlen,
-            len(self.S.alphabet))
+        p_hats, s0s, s1s = _component_stats(
+            ns, areas, seglens, wordlen=self.wordlen,
+            alphabet_len=len(self.S.alphabet))
+        p_hats = np.asarray(p_hats)
         s0s, s1s = np.asarray(s0s), np.asarray(s1s)
         for k, (d_lo, d_hi, a_lo, a_hi, n, seglen) in enumerate(cand):
             if p_hats[k] < p_min:

@@ -53,14 +53,20 @@ def run(ref_len=5_000_000, n_queries=100, query_len=10_000, err=0.10,
     wb = WordBlotLocalRef(ref, wordlen=wordlen, g_max=0.25)
     t_index = time.time() - t0
 
-    t0 = time.time()
-    tops = []
-    for q in queries:
+    # first query separately: it pays the per-shape remote compiles of
+    # the grid scatter + stats launches; the rest reuse them
+    def one(q):
         segs = sorted(
             wb.similar_segments(q, K_min=K_min, p_min=p_min),
             key=lambda s: -s["num_seeds"],
         )
-        tops.append(segs[0] if segs else None)
+        return segs[0] if segs else None
+
+    t0 = time.time()
+    tops = [one(queries[0])]
+    t_first = time.time() - t0
+    t0 = time.time()
+    tops += [one(q) for q in queries[1:]]
     t_query = time.time() - t0
 
     radius = 200  # generous d tolerance: band quantization is ~r(K_min)
@@ -76,8 +82,10 @@ def run(ref_len=5_000_000, n_queries=100, query_len=10_000, err=0.10,
         "ref_len": ref_len, "n_queries": n_queries,
         "query_len": query_len, "err": err, "wordlen": wordlen,
         "index_s": round(t_index, 2),
+        "first_query_s": round(t_first, 2),
         "query_total_s": round(t_query, 2),
-        "queries_per_s": round(n_queries / max(t_query, 1e-9), 2),
+        "queries_per_s": round(
+            (n_queries - 1) / max(t_query, 1e-9), 2),
         "locus_recall": hit / n_queries,
     }
 
