@@ -29,6 +29,7 @@ MODULES = [
     "biseqt_tpu.ops.banded_dp",
     "biseqt_tpu.ops.pallas_dp",
     "biseqt_tpu.ops.pallas_dp_ad",
+    "biseqt_tpu.ops.pallas_walk",
     "biseqt_tpu.ops.tables",
     "biseqt_tpu.ops.blot_stats",
     "biseqt_tpu.ops.allvsall_sorted",
