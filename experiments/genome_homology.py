@@ -51,7 +51,7 @@ def rearranged_pair(rng, size, n_blocks=8, subst=0.08, gap=0.02):
     return A_seq, B_seq, truth
 
 
-def run_once(seed, size, n_blocks, wordlen):
+def run_once(seed, size, n_blocks, wordlen, transcripts=False):
     rng = np.random.default_rng(seed)
     t0 = time.time()
     A_seq, B_seq, truth = rearranged_pair(rng, size, n_blocks=n_blocks)
@@ -67,7 +67,8 @@ def run_once(seed, size, n_blocks, wordlen):
     t_discover = time.time() - t0
 
     t0 = time.time()
-    ext = extend_segments(A_seq, B_seq, segs, use_pallas=None)
+    ext = extend_segments(A_seq, B_seq, segs, use_pallas=None,
+                          with_transcripts=transcripts)
     t_extend = time.time() - t0
 
     # recall: every truth block's diagonal must be hit by some segment
@@ -82,7 +83,7 @@ def run_once(seed, size, n_blocks, wordlen):
         )
         found += hit
     cells = sum(s.get("band_cells", 0) for s in ext)
-    return {
+    out = {
         "size": size, "n_blocks": n_blocks,
         "n_segments": len(ext),
         "block_recall": found / len(truth),
@@ -94,6 +95,13 @@ def run_once(seed, size, n_blocks, wordlen):
         "extended_cells": cells,
         "extend_gcups": round(cells / max(t_extend, 1e-9) / 1e9, 2),
     }
+    if transcripts:
+        txs = [s.get("transcript", "") for s in ext]
+        n_ops = sum(len(t) for t in txs)
+        n_m = sum(t.count("M") for t in txs)
+        out["tx_total_ops"] = n_ops
+        out["tx_match_frac"] = round(n_m / max(n_ops, 1), 4)
+    return out
 
 
 def main():
@@ -106,14 +114,17 @@ def main():
                          "and report the second pass: first-pass remote "
                          "TPU compiles (minutes at genome shapes) "
                          "otherwise dominate every phase timing")
+    ap.add_argument("--transcripts", action="store_true",
+                    help="extend with MSID transcripts (on-device sweep "
+                         "walk); reports total ops + match fraction")
     args = ap.parse_args()
     size = 100_000 if args.quick else args.size
     n_blocks = 4 if args.quick else 8
 
     if args.warm:
-        warmup = run_once(1, size, n_blocks, args.wordlen)
+        warmup = run_once(1, size, n_blocks, args.wordlen, args.transcripts)
         print(json.dumps({"pass": "cold", **warmup}))
-    res = run_once(2 if args.warm else 1, size, n_blocks, args.wordlen)
+    res = run_once(2 if args.warm else 1, size, n_blocks, args.wordlen, args.transcripts)
     if args.warm:
         res = {"pass": "warm", **res}
     print(json.dumps(res))
