@@ -57,7 +57,11 @@ def auto_max_run(n_reads: int, L: int, wordlen: int,
     mu = n_reads * max(L, 1) / float(alphabet_len ** wordlen)
     cap = int(np.clip(np.ceil(2.5 * mu), 8, 96))
     budget = (256 << 20) // max(2 * n_reads * L, 1)
-    return max(8, min(cap, budget))
+    # the budget WINS below the statistical floor: a floor of 8 at
+    # n_reads*L > 16M would re-create the very expansion blow-up the
+    # budget exists to prevent (callers at that scale should raise
+    # wordlen instead — mu shrinks as |Sigma|^-w)
+    return max(1, min(cap, budget))
 
 
 def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,

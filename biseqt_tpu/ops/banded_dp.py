@@ -654,65 +654,83 @@ def full_dp_traceback(s_codes, t_codes, s_lens, t_lens, *, subst, go, ge,
     t_np = np.asarray(t_codes)
     end_i = np.asarray(end_i)
     end_j = np.asarray(end_j)
-    block_cache = {}
 
-    def block_dirs(k):
-        if k not in block_cache:
-            H_in, F_in = ckpts[k]
-            _, _, dirs = _full_dp_block_jit(
-                s_codes, t_codes, s_lens, t_lens, H_in, F_in,
-                jnp.int32(k * K), n_rows=K, subst=subst, go=go, ge=ge,
-                flags=flags, with_dirs=True,
-            )
-            # keep at most one materialized block (the memory contract)
-            block_cache.clear()
-            block_cache[k] = np.asarray(dirs)
-        return block_cache[k]
+    # blocks OUTER, pairs inner: each block's re-solve computes dirs for
+    # ALL B rows, so every block must be materialized at most once per
+    # CALL, not once per pair (the previous pair-outer loop with a
+    # one-block cache re-solved each block per pair — O(B^2) full-pass
+    # work for a batch).  Walks pause at a block's lower edge and resume
+    # when the loop reaches that block; E-runs never cross blocks (the
+    # block index depends on i only, and E moves only j).
+    cur_i = [int(x) for x in end_i]
+    cur_j = [int(x) for x in end_j]
+    states = ["H"] * B
+    done = [False] * B
+    opss = [[] for _ in range(B)]
+    for k in range(n_blocks - 1, -1, -1):
+        needs = [
+            b for b in range(B)
+            if not done[b] and cur_i[b] >= 1 and (cur_i[b] - 1) // K == k
+        ]
+        if not needs:
+            continue
+        H_in, F_in = ckpts[k]
+        _, _, dirs = _full_dp_block_jit(
+            s_codes, t_codes, s_lens, t_lens, H_in, F_in,
+            jnp.int32(k * K), n_rows=K, subst=subst, go=go, ge=ge,
+            flags=flags, with_dirs=True,
+        )
+        dirs_k = np.asarray(dirs)
+        for b in needs:
+            i, j, state = cur_i[b], cur_j[b], states[b]
+            ops = opss[b]
+
+            def byte_at(i, j):
+                if j < 0 or j >= W or i < 1:
+                    raise ValueError(
+                        "traceback left the matrix at (i=%d, j=%d)"
+                        % (i, j)
+                    )
+                return int(dirs_k[b, (i - 1) - k * K, j])
+
+            while not done[b] and i >= 1 and (i - 1) // K == k:
+                if state == "H":
+                    if i == 0 or j == 0:
+                        done[b] = True
+                        break
+                    bt = byte_at(i, j)
+                    src = bt & 3
+                    if src == 0:
+                        done[b] = True
+                        break
+                    if src == 1:
+                        ops.append(
+                            "M" if s_np[b, i - 1] == t_np[b, j - 1]
+                            else "S"
+                        )
+                        i -= 1
+                        j -= 1
+                    elif src == 2:
+                        state = "E"
+                    else:
+                        state = "F"
+                elif state == "E":
+                    bt = byte_at(i, j)
+                    ops.append("I")
+                    j -= 1
+                    if not (bt >> 2) & 1 or j == 0:
+                        state = "H"
+                else:
+                    bt = byte_at(i, j)
+                    ops.append("D")
+                    i -= 1
+                    if not (bt >> 3) & 1 or i == 0:
+                        state = "H"
+            cur_i[b], cur_j[b], states[b] = i, j, state
 
     out = []
     for b in range(B):
-        i, j = int(end_i[b]), int(end_j[b])
-
-        def byte_at(i, j):
-            if j < 0 or j >= W or i < 1:
-                raise ValueError(
-                    "traceback left the matrix at (i=%d, j=%d)" % (i, j)
-                )
-            k = (i - 1) // K
-            return int(block_dirs(k)[b, (i - 1) - k * K, j])
-
-        ops = []
-        state = "H"
-        while True:
-            if state == "H":
-                if i == 0 or j == 0:
-                    break
-                bt = byte_at(i, j)
-                src = bt & 3
-                if src == 0:
-                    break
-                if src == 1:
-                    ops.append(
-                        "M" if s_np[b, i - 1] == t_np[b, j - 1] else "S"
-                    )
-                    i -= 1
-                    j -= 1
-                elif src == 2:
-                    state = "E"
-                else:
-                    state = "F"
-            elif state == "E":
-                bt = byte_at(i, j)
-                ops.append("I")
-                j -= 1
-                if not (bt >> 2) & 1 or j == 0:
-                    state = "H"
-            else:
-                bt = byte_at(i, j)
-                ops.append("D")
-                i -= 1
-                if not (bt >> 3) & 1 or i == 0:
-                    state = "H"
+        i, j, ops = cur_i[b], cur_j[b], opss[b]
         if not (flags.local_start or flags.free_start_edges):
             ops.extend("I" * j)
             ops.extend("D" * i)

@@ -213,8 +213,14 @@ def overlap_matrix_sharded(codes, lengths, *, wordlen: int = 8,
 
 def overlap_matrix_sorted_sharded(codes, lengths, *, wordlen: int = 8,
                                   alphabet_len: int = 4, bucket: int = 64,
-                                  max_run: int = 4, mesh=None):
+                                  max_run: int = None, mesh=None):
     """Mesh-sharded sort-join all-vs-all: each device owns a row block.
+
+    ``max_run=None`` sizes the partner cap to the expected (global,
+    coverage-scaled) k-mer run length — see
+    :func:`biseqt_tpu.ops.allvsall_sorted.auto_max_run`.  (The
+    per-pair blockwise engine's ``max_hits`` is different: it caps
+    repeats WITHIN one target read, which does not grow with coverage.)
 
     Reads replicate via all-gather over ICI (they are small — the k-mer
     *table* is rebuilt per device, which is one cheap radix sort); the
@@ -289,7 +295,11 @@ def all_vs_all_overlaps(codes, lengths, *, wordlen: int = 8,
                 wordlen=wordlen, n_reads=int(N),
                 alphabet_len=kw.get("alphabet_len", 4),
                 bucket=kw.get("bucket", 32),
-                max_run=kw.get("max_hits", 4),
+                # None = auto_max_run: the global-table join's run
+                # length scales with COVERAGE, and a fixed small cap
+                # collapses far-index pairs' counts (recall 0.26 repro
+                # in experiments/overlap_recall.py)
+                max_run=kw.get("max_hits", None),
             ).items()
         }
     else:

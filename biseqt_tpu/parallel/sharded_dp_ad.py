@@ -366,6 +366,17 @@ def banded_dp_band_sharded_ad(s_codes, t_codes, s_lens, t_lens, dmin, *,
     )
 
 
+def _pair_geometry(B: int, LS: int, LT: int, C: int,
+                   ckpt_every: int = 0):
+    """Static ints shared by _prep_streams and the traceback driver:
+    (Bp, B2, Apad).  Apad = steps 0..LS+LT inclusive rounded up to whole
+    halo chunks (and whole checkpoint windows when requested)."""
+    Bp = ((B + 1) // 2) * 2
+    gran = C * max(int(ckpt_every), 1)
+    Aend = LS + LT + 1
+    return Bp, Bp // 2, ((Aend + gran - 1) // gran) * gran
+
+
 def _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, *,
                   W: int, C: int, ckpt_every: int = 0):
     """Dual-pair packing + interleaved char streams, shared by the
@@ -385,8 +396,7 @@ def _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, *,
 
     # pair up: plane b2 holds pairs (2 b2, 2 b2 + 1); odd B pads one
     # inert length-1 pair
-    Bp = ((B + 1) // 2) * 2
-    B2 = Bp // 2
+    Bp, B2, Apad = _pair_geometry(B, LS, LT, C, ckpt_every)
 
     def padb(x, fill):
         return jnp.pad(x, ((0, Bp - B),), constant_values=fill)
@@ -403,13 +413,6 @@ def _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, *,
     pair_id = jnp.arange(Bp, dtype=jnp.int32) % 2
     dminq = parity_adjusted_dmin(dmin_p, pair_id)   # dmin' ≡ pair (mod 2)
     up = dminq - dmin_p                             # in {0, 1}
-
-    # steps 0..LS+LT inclusive (corner cell sits at a = sl + tl),
-    # rounded up to whole halo chunks (and whole checkpoint windows
-    # when the traceback driver asked for them)
-    Aend = LS + LT + 1
-    gran = C * max(int(ckpt_every), 1)
-    Apad = ((Aend + gran - 1) // gran) * gran
 
     # interleaved char streams (replicated; windows are per-device
     # dynamic slices).  Slot (global lane kg, step a) of pair p is cell
@@ -459,6 +462,19 @@ def _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, *,
         hi2=col(W - up),
         B=B, Bp=Bp, B2=B2, Apad=Apad,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("W", "C", "ckpt_every"))
+def _prep_streams_jit(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, *,
+                      W: int, C: int, ckpt_every: int = 0):
+    """_prep_streams under jit (array entries only — the static ints
+    come from :func:`_pair_geometry`).  The eager version runs ~30
+    separate dispatches over multi-MB streams, ~32 ms each through this
+    environment's tunnel."""
+    p = _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff,
+                      W=W, C=C, ckpt_every=ckpt_every)
+    return {k: v for k, v in p.items()
+            if not isinstance(v, (int, np.integer))}
 
 
 @functools.partial(
@@ -603,12 +619,20 @@ def band_sharded_ad_traceback(s_codes, t_codes, s_lens, t_lens, dmin, *,
     nb = mesh.shape[BAND_AXIS]
     Wl = W // nb
     C = int(min(halo, Wl))
-    # the streams for the window re-solves (eager; identical math to the
-    # forward pass's in-jit prep — same function, same inputs)
-    p = _prep_streams(s_codes, t_codes, s_lens, t_lens, dmin, w_eff,
-                      W=W, C=C, ckpt_every=m)
+    # the streams for the window re-solves — identical math to the
+    # forward pass's in-jit prep (same function, same inputs), run
+    # under jit: the eager version cost ~1 s of per-op tunnel
+    # dispatches on every traceback call
+    p = dict(_prep_streams_jit(
+        jnp.asarray(s_codes), jnp.asarray(t_codes),
+        jnp.asarray(s_lens), jnp.asarray(t_lens), jnp.asarray(dmin),
+        None if w_eff is None else jnp.asarray(w_eff),
+        W=W, C=C, ckpt_every=m,
+    ))
     subst_j = jnp.asarray(subst, jnp.float32)
-    Apad, B2, B = p["Apad"], p["B2"], p["B"]
+    B, LS = np.asarray(s_codes).shape
+    _, B2, Apad = _pair_geometry(B, LS, np.asarray(t_codes).shape[1],
+                                 C, m)
     n_outer = Apad // (C * m)
     dminq = np.asarray(p["dminq"])[:B]
 

@@ -238,13 +238,22 @@ class SeedIndexMultiple:
     """
 
     def __init__(self, *seqs: Sequence, wordlen: int = 8,
-                 max_hits_per_kmer: int = 8, device: bool = None):
+                 max_hits_per_kmer: int = 8, device: bool = None,
+                 max_tuples_per_kmer: int = 4096):
         assert len(seqs) >= 2
         self.seqs = seqs
         self.wordlen = int(wordlen)
         self.alphabet = seqs[0].alphabet
         h = int(max_hits_per_kmer)
         assert h >= 1
+        # the per-sequence cap alone is exponential in N: ONE
+        # low-complexity k-mer (a poly-A run) with >= h occurrences in
+        # every one of N=10 sequences would expand to h^N ~ 1e9 tuples.
+        # Per k-mer, the effective per-sequence cap is lowered (same
+        # deterministic rule on both tiers: largest h' <= h whose
+        # capped-count product fits) until the tuple count fits the
+        # budget.
+        self._max_tuples = max(int(max_tuples_per_kmer), 1)
         if device is None:
             # both tiers have IDENTICAL semantics (capped cross products
             # of the first h positions per sequence per shared k-mer), so
@@ -319,6 +328,7 @@ class SeedIndexMultiple:
         c = np.bincount(g_row * N + s_row, minlength=G * N).reshape(G, N)
         post = np.zeros((G, N, h), np.int64)
         post[g_row, s_row, r_row] = p_row
+        c = _fit_tuple_budget(c, h, self._max_tuples)
         # cross-product expansion, host-tier ordering (last sequence
         # varies fastest): stride[:, s] = prod of counts of seqs > s
         rc = np.cumprod(c[:, ::-1], axis=1)[:, ::-1]  # rc[:, s] = prod c[:, s:]
@@ -354,7 +364,13 @@ class SeedIndexMultiple:
             shared &= set(m)
         seeds = []
         for km in shared:
-            lists = [m[km][:max_hits_per_kmer] for m in maps]
+            counts = np.asarray(
+                [[min(len(m[km]), max_hits_per_kmer) for m in maps]],
+                np.int64,
+            )
+            ce = _fit_tuple_budget(counts, max_hits_per_kmer,
+                                   self._max_tuples)[0]
+            lists = [m[km][:int(ce[s])] for s, m in enumerate(maps)]
             combos = [[]]
             for lst in lists:
                 combos = [c + [p] for c in combos for p in lst]
@@ -369,6 +385,29 @@ class SeedIndexMultiple:
 
     def seed_count(self):
         return len(self._seeds)
+
+
+def _fit_tuple_budget(c, h: int, max_tuples: int):
+    """Lower per-sequence hit caps until each k-mer's cross-product size
+    fits the budget.
+
+    ``c``: [G, N] int64 per-(k-mer, sequence) capped hit counts
+    (``c <= h``).  Returns adjusted counts: for every row whose product
+    exceeds ``max_tuples``, counts are re-capped at the largest
+    ``h' < h`` that fits (down to 1 — a product of 1**N always fits).
+    Deterministic and tier-independent: the device and host builders
+    must produce identical seed sets.
+    """
+    c = np.asarray(c, np.int64).copy()
+    # float64 products: int64 overflows at large N (8^22 > 2^63)
+    prod = c.astype(np.float64).prod(axis=1)
+    for hp in range(h - 1, 0, -1):
+        over = prod > max_tuples
+        if not over.any():
+            break
+        c[over] = np.minimum(c[over], hp)
+        prod[over] = c[over].astype(np.float64).prod(axis=1)
+    return c
 
 
 def _next_pow2(n: int) -> int:

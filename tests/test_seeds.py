@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from biseqt_tpu.sequence import Alphabet
+from biseqt_tpu.sequence import Alphabet, Sequence
 from biseqt_tpu.stochastics import rand_seq, MutationProcess
 from biseqt_tpu.seeds import SeedIndex, SeedIndexMultiple, Seed
 from biseqt_tpu.kmers import as_kmer_seq
@@ -123,3 +123,29 @@ def test_seed_index_multiple_device_tier_matches_host(rng):
     assert sizes[0] > 30  # the planted cores yield many shared k-mers
     # repeats must actually fan out, or this test is vacuous at h > 1
     assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_seed_index_multiple_tuple_budget(rng):
+    """One low-complexity k-mer saturating the per-sequence cap in every
+    sequence would expand to h^N tuples (N=6, h=8 -> 262k; at the
+    config-1b N=10 it is ~1e9 — a host OOM).  The per-k-mer tuple budget
+    must bound the expansion, identically on both tiers."""
+    from biseqt_tpu.seeds import SeedIndexMultiple
+
+    N = 6
+    polyA = Sequence(A4, [0] * 60)          # ~50 copies of the AAAA k-mer
+    seqs = [rand_seq(A4, 120, rng=rng) + polyA + rand_seq(A4, 120, rng=rng)
+            for _ in range(N)]
+    kw = dict(wordlen=8, max_hits_per_kmer=8, max_tuples_per_kmer=500)
+    dev = SeedIndexMultiple(*seqs, device=True, **kw)
+    host = SeedIndexMultiple(*seqs, device=False, **kw)
+    assert dev.seeds() == host.seeds()
+    # every k-mer's cross product fits the budget: with h'=2 the poly-A
+    # k-mer yields 2^6 = 64 <= 500 (h'=3 would be 729 > 500)
+    assert 0 < len(dev) < 5000
+    # and an UNBUDGETED run at these sizes would have been ~8^6 = 262k
+    # for the poly-A k-mer alone
+    big = SeedIndexMultiple(*seqs, device=True, wordlen=8,
+                            max_hits_per_kmer=8,
+                            max_tuples_per_kmer=1 << 30)
+    assert len(big) > 200_000
