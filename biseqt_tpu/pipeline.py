@@ -75,6 +75,34 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     s_arr = S.to_array()
     t_arr = T.to_array()
 
+    if with_transcripts:
+        # transcript launches allocate a dirs plane of ~(a-range / 2) * W
+        # bytes per pair-row on device.  Discovery merges consecutive
+        # in-order blocks into multi-Mbp segments (a 4 Mbp segment at
+        # W = 1536 is a 3.2 GB plane — OOMed the 5 Mbp genome run), so
+        # oversized segments are split into overlapping a-windows sized
+        # to a plane budget; each window is extended and aligned
+        # independently and yields its own transcripted output row.
+        DIRS_BUDGET = 1 << 30
+        split = []
+        for seg in segments:
+            (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
+            W_est = max(d_hi - d_lo + 1 + 2 * pad_radius, 128)
+            max_a = max(2 * DIRS_BUDGET // W_est, 8 * pad_a)
+            span = a_hi - a_lo + 1
+            if span <= max_a:
+                split.append(seg)
+                continue
+            n_win = -(-span // max_a)
+            step = -(-span // n_win)
+            for w in range(n_win):
+                lo = a_lo + w * step
+                hi = min(lo + step + 2 * pad_a, a_hi)
+                sub = dict(seg)
+                sub["segment"] = ((d_lo, d_hi), (lo, hi))
+                split.append(sub)
+        segments = split
+
     cut = []
     for seg in segments:
         (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
@@ -127,9 +155,13 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     def _launch(idxs, LS, LT, W):
         # bucket the batch dim too (pad with inert length-1 rows):
         # distinct n would otherwise be distinct jit shapes, and every
-        # distinct shape is a remote compile in this environment
+        # distinct shape is a remote compile in this environment.
+        # Transcript launches bucket at mini=2: every padded pair-row
+        # allocates a FULL dirs plane (~(LS+LT)*W/4 bytes — 640 MB per
+        # row for 625 kbp segments at W=1024), and rounding 1-2 genome
+        # segments up to 8 rows OOMed the 5 Mbp transcripts run
         n = len(idxs)
-        n_pad = _bucket(n, mini=8)
+        n_pad = _bucket(n, mini=2 if with_transcripts else 8)
         s_codes = np.zeros((n_pad, LS), np.int8)
         t_codes = np.zeros((n_pad, LT), np.int8)
         s_lens = np.ones((n_pad,), np.int32)
