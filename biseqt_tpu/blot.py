@@ -691,13 +691,17 @@ class WordBlotMultiple:
     """
 
     def __init__(self, *seqs: Sequence, wordlen: int = 8, g_max: float = 0.3,
-                 sensitivity: float = 0.99):
+                 sensitivity: float = 0.99, **seed_index_kw):
         assert len(seqs) >= 2
         self.seqs = seqs
         self.wordlen = int(wordlen)
         self.g_max = float(g_max)
         self.sensitivity = float(sensitivity)
-        self.seed_index = SeedIndexMultiple(*seqs, wordlen=wordlen)
+        # seed_index_kw passes through (max_hits_per_kmer,
+        # max_tuples_per_kmer, device) so the N-way expansion knobs are
+        # reachable from the public wrapper
+        self.seed_index = SeedIndexMultiple(*seqs, wordlen=wordlen,
+                                            **seed_index_kw)
 
     def band_radius(self, K) -> int:
         return int(band_radius(K, self.g_max, self.sensitivity))

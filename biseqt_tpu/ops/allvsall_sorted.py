@@ -59,9 +59,21 @@ def auto_max_run(n_reads: int, L: int, wordlen: int,
     budget = (256 << 20) // max(2 * n_reads * L, 1)
     # the budget WINS below the statistical floor: a floor of 8 at
     # n_reads*L > 16M would re-create the very expansion blow-up the
-    # budget exists to prevent (callers at that scale should raise
-    # wordlen instead — mu shrinks as |Sigma|^-w)
-    return max(1, min(cap, budget))
+    # budget exists to prevent.  But a budget-starved cap degrades seed
+    # counts the same way the old fixed cap did (the recall-0.26
+    # failure) — be LOUD about it: the caller should raise wordlen (mu
+    # shrinks as |Sigma|^-w) or pass max_run explicitly.
+    out = max(1, min(cap, budget))
+    if out < min(cap, 8):
+        import warnings
+
+        warnings.warn(
+            "auto_max_run: the expansion budget caps the k-mer partner "
+            "window at %d while the expected run length is ~%.0f — "
+            "overlap seed counts WILL be undercounted; raise wordlen "
+            "(fewer collisions per key) or pass max_run explicitly"
+            % (out, mu), RuntimeWarning, stacklevel=2)
+    return out
 
 
 def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,

@@ -631,8 +631,8 @@ def band_sharded_ad_traceback(s_codes, t_codes, s_lens, t_lens, dmin, *,
     ))
     subst_j = jnp.asarray(subst, jnp.float32)
     B, LS = np.asarray(s_codes).shape
-    _, B2, Apad = _pair_geometry(B, LS, np.asarray(t_codes).shape[1],
-                                 C, m)
+    _, _, Apad = _pair_geometry(B, LS, np.asarray(t_codes).shape[1],
+                                C, m)
     n_outer = Apad // (C * m)
     dminq = np.asarray(p["dminq"])[:B]
 

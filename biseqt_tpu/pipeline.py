@@ -64,8 +64,13 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     With ``with_transcripts=True`` the launch also emits direction bytes
     (the Pallas kernel streams them to HBM chunk-by-chunk) and every
     segment gains ``transcript`` (MSID string) + ``origin_start`` /
-    ``mutate_start`` (coordinates in the FULL S/T) — walked by the native
-    C++ batched tracer in one call, no per-pair Python loop.
+    ``mutate_start`` (coordinates in the FULL S/T) — walked on device by
+    default (``device_walk``).  NOTE: in transcript mode the output may
+    hold MORE rows than ``segments``: a segment whose antidiagonal span
+    exceeds the direction-plane budget is split into overlapping
+    a-windows, each aligned independently.  Every output row carries
+    ``source_index`` (its position in the input list) — join on that,
+    not on row order.  Score-only mode is always 1:1.
     """
     if not segments:
         return []
@@ -85,13 +90,15 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         # independently and yields its own transcripted output row.
         DIRS_BUDGET = 1 << 30
         split = []
-        for seg in segments:
+        src_idx = []
+        for k, seg in enumerate(segments):
             (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
             W_est = max(d_hi - d_lo + 1 + 2 * pad_radius, 128)
             max_a = max(2 * DIRS_BUDGET // W_est, 8 * pad_a)
             span = a_hi - a_lo + 1
             if span <= max_a:
                 split.append(seg)
+                src_idx.append(k)
                 continue
             n_win = -(-span // max_a)
             step = -(-span // n_win)
@@ -101,7 +108,10 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
                 sub = dict(seg)
                 sub["segment"] = ((d_lo, d_hi), (lo, hi))
                 split.append(sub)
+                src_idx.append(k)
         segments = split
+    else:
+        src_idx = list(range(len(segments)))
 
     cut = []
     for seg in segments:
@@ -279,6 +289,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     out = []
     for b, seg in enumerate(segments):
         seg = dict(seg)
+        seg["source_index"] = src_idx[b]
         seg["score"] = float(scores[b])
         seg["band_cells"] = int(
             (cut[b][5] - cut[b][4] + 1) * (cut[b][1] - cut[b][0])

@@ -130,7 +130,6 @@ def test_seed_index_multiple_tuple_budget(rng):
     sequence would expand to h^N tuples (N=6, h=8 -> 262k; at the
     config-1b N=10 it is ~1e9 — a host OOM).  The per-k-mer tuple budget
     must bound the expansion, identically on both tiers."""
-    from biseqt_tpu.seeds import SeedIndexMultiple
 
     N = 6
     polyA = Sequence(A4, [0] * 60)          # ~50 copies of the AAAA k-mer
