@@ -88,7 +88,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         # oversized segments are split into overlapping a-windows sized
         # to a plane budget; each window is extended and aligned
         # independently and yields its own transcripted output row.
-        DIRS_BUDGET = 1 << 30
+        DIRS_BUDGET = 512 << 20
         split = []
         src_idx = []
         for k, seg in enumerate(segments):
@@ -162,6 +162,61 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     subst = np.asarray(subst, np.float32)
     STREAM_CHAR_BUDGET = 400_000_000   # per-launch char budget (~0.8 GB)
 
+    # Launches are PIPELINED: device work (DP kernel + sweep walk) is
+    # dispatched for as many launch groups as an in-flight HBM budget
+    # allows before the oldest launch's results are materialized —
+    # host-side compaction and D2H then overlap later groups' compute
+    # (one serialized launch otherwise pays the full dispatch + D2H
+    # latency per group; the 5 Mbp transcripts run spends most of its
+    # warm time exactly there).  The budget counts the dominant
+    # allocation (the nibble-packed dirs plane per launch).
+    PIPELINE_BYTES = 3 << 30
+    pending = []
+    inflight = [0]
+
+    def _finish(rec):
+        inflight[0] -= rec["bytes"]
+        idxs, n, res = rec["idxs"], rec["n"], rec["res"]
+        scores[idxs] = np.asarray(res.score)[:n]
+        if not with_transcripts:
+            return
+        from . import native
+
+        s_codes, t_codes = rec["s_codes"], rec["t_codes"]
+        s_lens, t_lens = rec["s_lens"], rec["t_lens"]
+        dmin, W = rec["dmin"], rec["W"]
+        if rec["ad"]:
+            from .ops.pallas_dp_ad import parity_adjusted_dmin
+
+            if rec["walk"] is not None:
+                tr0, tr1, fi, fj = rec["walk"]
+                g_ops, g_si, g_sj = native.compact_sweep_ops(
+                    np.asarray(tr0), np.asarray(tr1),
+                    np.asarray(fi)[:n], np.asarray(fj)[:n],
+                    s_codes[:n], t_codes[:n], flags,
+                )
+            else:
+                dminq = parity_adjusted_dmin(
+                    dmin[:n], np.arange(n, dtype=np.int32) % 2
+                )
+                g_ops, g_si, g_sj = native.traceback_batch_ad(
+                    np.asarray(res.dirs), dminq, s_codes[:n],
+                    t_codes[:n], s_lens[:n], t_lens[:n],
+                    np.asarray(res.end_i)[:n],
+                    np.asarray(res.end_j)[:n], flags,
+                )
+        else:
+            g_ops, g_si, g_sj = native.traceback_batch(
+                np.asarray(res.dirs), dmin[:n] + (W - 1), s_codes[:n],
+                t_codes[:n], s_lens[:n], t_lens[:n],
+                np.asarray(res.end_i)[:n],
+                np.asarray(res.end_j)[:n], flags,
+            )
+        for b, idx in enumerate(idxs):
+            ops[idx] = g_ops[b]
+            si_all[idx] = g_si[b]
+            sj_all[idx] = g_sj[b]
+
     def _launch(idxs, LS, LT, W):
         # bucket the batch dim too (pad with inert length-1 rows):
         # distinct n would otherwise be distinct jit shapes, and every
@@ -172,6 +227,20 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         # segments up to 8 rows OOMed the 5 Mbp transcripts run
         n = len(idxs)
         n_pad = _bucket(n, mini=2 if with_transcripts else 8)
+        bb = min(128, max(8, -(-((n_pad + 1) // 2) // 8) * 8))
+        est = n_pad * (LS + LT)
+        if with_transcripts:
+            # the dirs plane is allocated for the kernel's FULL padded
+            # tile grid: Bp2 rounds ceil(n_pad / 2) up to the tile size
+            # (minimum 8 rows) — a "single-pair" genome launch still
+            # allocates 8 planes
+            b2r = -(-((n_pad + 1) // 2) // bb) * bb
+            est += b2r * (((LS + LT + 2 + 127) // 128) * 64) * W
+        # drain BEFORE dispatching: this launch's dirs planes must fit
+        # alongside whatever is still in flight (a genome-segment
+        # launch can be most of the budget by itself)
+        while pending and inflight[0] + est > PIPELINE_BYTES:
+            _finish(pending.pop(0))
         s_codes = np.zeros((n_pad, LS), np.int8)
         t_codes = np.zeros((n_pad, LT), np.int8)
         s_lens = np.ones((n_pad,), np.int32)
@@ -201,8 +270,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             w_eff = np.minimum(w_eff, W - 1)
             # shrink the tile to the actual batch (the default 256-row
             # tile would round a handful of megabase segments up to 512)
-            extra = {"with_dirs": with_transcripts,
-                     "block_b": min(128, max(8, -(-((n_pad + 1) // 2) // 8) * 8))}
+            extra = {"with_dirs": with_transcripts, "block_b": bb}
         else:
             fn = banded_dp
             extra = {"with_dirs": with_transcripts}
@@ -213,61 +281,34 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             go=float(go_score), ge=float(ge_score), flags=flags,
             w_eff=jnp.asarray(w_eff), **extra,
         )
-        scores[idxs] = np.asarray(res.score)[:n]
-        if with_transcripts:
-            from . import native
+        walk = None
+        if with_transcripts and ad and device_walk:
+            # on-device sweep walk + host compaction: ships a 2-bit-
+            # per-step op trace instead of the W/2-byte dirs plane —
+            # the D2H that dominated transcript mode (see
+            # ops/pallas_walk.py).  Padding pairs are masked out
+            # (-1 ends) on device.  Dispatched HERE so the walk of this
+            # launch overlaps the next launches' kernels.
+            from .ops.pallas_dp_ad import parity_adjusted_dmin
+            from .ops.pallas_walk import traceback_sweep
 
-            # walk only the real rows: the inert batch-bucket padding
-            # pairs have garbage end cells (their walks would trip the
-            # binding's corruption check)
-            if ad:
-                from .ops.pallas_dp_ad import parity_adjusted_dmin
-
-                if device_walk:
-                    # on-device sweep walk + host compaction: ships a
-                    # 1-byte-per-step op trace instead of the W/2-byte
-                    # dirs plane — the D2H that dominated transcript
-                    # mode (see ops/pallas_walk.py).  Padding pairs are
-                    # masked out (-1 ends) on device.
-                    from .ops.pallas_walk import traceback_sweep
-
-                    dminq_p = parity_adjusted_dmin(
-                        dmin, np.arange(n_pad, dtype=np.int32) % 2
-                    )
-                    real = jnp.arange(n_pad, dtype=jnp.int32) < n
-                    tr0, tr1, fi, fj = traceback_sweep(
-                        res.dirs, jnp.asarray(dminq_p),
-                        jnp.where(real, res.end_i.astype(jnp.int32), -1),
-                        jnp.where(real, res.end_j.astype(jnp.int32), -1),
-                        W=W,
-                        block_b=min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
-                    )
-                    g_ops, g_si, g_sj = native.compact_sweep_ops(
-                        np.asarray(tr0), np.asarray(tr1),
-                        np.asarray(fi)[:n], np.asarray(fj)[:n],
-                        s_codes[:n], t_codes[:n], flags,
-                    )
-                else:
-                    dminq = parity_adjusted_dmin(
-                        dmin[:n], np.arange(n, dtype=np.int32) % 2
-                    )
-                    g_ops, g_si, g_sj = native.traceback_batch_ad(
-                        np.asarray(res.dirs), dminq, s_codes[:n],
-                        t_codes[:n], s_lens[:n], t_lens[:n],
-                        np.asarray(res.end_i)[:n],
-                        np.asarray(res.end_j)[:n], flags,
-                    )
-            else:
-                g_ops, g_si, g_sj = native.traceback_batch(
-                    np.asarray(res.dirs), dmin[:n] + (W - 1), s_codes[:n],
-                    t_codes[:n], s_lens[:n], t_lens[:n],
-                    np.asarray(res.end_i)[:n],
-                    np.asarray(res.end_j)[:n], flags,
-                )
-            for b, idx in enumerate(idxs):
-                ops[idx] = g_ops[b]
-                si_all[idx] = g_si[b]
-                sj_all[idx] = g_sj[b]
+            dminq_p = parity_adjusted_dmin(
+                dmin, np.arange(n_pad, dtype=np.int32) % 2
+            )
+            real = jnp.arange(n_pad, dtype=jnp.int32) < n
+            walk = traceback_sweep(
+                res.dirs, jnp.asarray(dminq_p),
+                jnp.where(real, res.end_i.astype(jnp.int32), -1),
+                jnp.where(real, res.end_j.astype(jnp.int32), -1),
+                W=W,
+                block_b=min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
+            )
+        pending.append(dict(
+            idxs=idxs, n=n, res=res, s_codes=s_codes, t_codes=t_codes,
+            s_lens=s_lens, t_lens=t_lens, dmin=dmin, W=W, ad=ad,
+            walk=walk, bytes=est,
+        ))
+        inflight[0] += est
 
     total_cells = sum(
         int(c[5] - c[4] + 1) * int(c[1] - c[0]) for c in cut
@@ -285,6 +326,8 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             cap = max(2, 2 * (STREAM_CHAR_BUDGET // max(per_pair, 1)))
             for k in range(0, len(idxs), cap):
                 _launch(idxs[k:k + cap], LS, LT, W)
+        while pending:
+            _finish(pending.pop(0))
 
     out = []
     for b, seg in enumerate(segments):
