@@ -52,7 +52,8 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
                     subst=None, go_score=-3.0, ge_score=-1.0,
                     use_pallas: bool = None, pad_radius: int = 16,
                     pad_a: int = 512, with_transcripts: bool = False,
-                    device_walk: bool = True):
+                    device_walk: bool = True,
+                    _dirs_budget: int = 512 << 20):
     """Batched banded extension of Word-Blot candidate segments.
 
     Each segment's (d, a) rectangle maps to subsequences
@@ -88,7 +89,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         # oversized segments are split into overlapping a-windows sized
         # to a plane budget; each window is extended and aligned
         # independently and yields its own transcripted output row.
-        DIRS_BUDGET = 512 << 20
+        DIRS_BUDGET = int(_dirs_budget)
         split = []
         src_idx = []
         for k, seg in enumerate(segments):

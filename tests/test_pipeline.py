@@ -94,6 +94,45 @@ def test_extend_segments_with_transcripts(rng):
         assert len(seg["transcript"]) > 200
 
 
+def test_extend_segments_window_split_contract(rng):
+    """Transcript mode splits segments whose a-span exceeds the dirs
+    budget into overlapping windows: the output then has MORE rows than
+    the input, each tagged with source_index, and every window's
+    transcript still rescores to its own score."""
+    from biseqt_tpu.pw import Alignment
+
+    M = MutationProcess(A4, subst_probs=0.06, go_prob=0.02, ge_prob=0.05,
+                        rng=rng)
+    core = rand_seq(A4, 6000, rng=rng)
+    S = core
+    T, _ = M.mutate(core)
+    wb = WordBlot(S, T, wordlen=8, g_max=0.15)
+    segments = list(wb.similar_segments(K_min=1000, p_min=0.6))
+    assert len(segments) >= 1
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    # a tiny budget forces the ~12k a-span into several windows (the
+    # floor is 8 * pad_a = 4096 antidiagonals)
+    out = extend_segments(
+        S, T, segments, subst=subst, go_score=-3.0, ge_score=-1.0,
+        use_pallas=False, with_transcripts=True, _dirs_budget=1,
+    )
+    assert len(out) > len(segments)
+    assert {seg["source_index"] for seg in out} == set(
+        range(len(segments)))
+    cover = 0
+    for seg in out:
+        aln = Alignment(
+            S, T, seg["transcript"],
+            origin_start=seg["origin_start"],
+            mutate_start=seg["mutate_start"],
+        )
+        rescored = aln.calculate_score(subst, -3.0, -1.0)
+        assert rescored == pytest.approx(seg["score"], abs=1e-3), seg
+        cover += len(seg["transcript"])
+    # the windows jointly cover the whole homology (overlaps included)
+    assert cover > 5500
+
+
 def test_extend_segments_shape_grouped(rng):
     """Mixed segment sizes land in different shape buckets -> separate
     launches; per-segment scores must equal singleton-call scores
