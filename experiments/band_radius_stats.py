@@ -36,7 +36,8 @@ def run(Ks=(100, 400, 1600), gs=(0.05, 0.15, 0.3), sensitivity=0.99,
                             rng=rng)
         for K in Ks:
             r = band_radius(K, g, sensitivity)
-            inside = 0
+            inside_end = 0
+            inside_sup = 0
             for _ in range(n_trials):
                 S = rand_seq(A4, K, rng=rng)
                 _, tx = M.mutate(S)
@@ -44,11 +45,18 @@ def run(Ks=(100, 400, 1600), gs=(0.05, 0.15, 0.3), sensitivity=0.99,
                 for op in tx:
                     d += (op == "D") - (op == "I")
                     dmax = max(dmax, abs(d))
-                inside += dmax <= r
+                inside_end += abs(d) <= r
+                inside_sup += dmax <= r
             rows.append({
                 "K": K, "g": g, "radius": int(r),
-                "containment": inside / n_trials,
-                "target": sensitivity,
+                # the model's sensitivity is an ENDPOINT quantile
+                # (P(|d_K| <= r)); sup-containment over the whole path
+                # is the stricter band-use criterion and runs ~2x the
+                # tail by the reflection principle (~1 - 2 eps)
+                "containment_endpoint": inside_end / n_trials,
+                "containment_sup": inside_sup / n_trials,
+                "target_endpoint": sensitivity,
+                "target_sup_approx": 1 - 2 * (1 - sensitivity),
             })
     return rows
 

@@ -101,6 +101,13 @@ def run_once(seed, size, n_blocks, wordlen, transcripts=False):
         n_m = sum(t.count("M") for t in txs)
         out["tx_total_ops"] = n_ops
         out["tx_match_frac"] = round(n_m / max(n_ops, 1), 4)
+        # transcript mode may split oversized segments into overlapping
+        # a-windows: n_segments counts OUTPUT rows and extended_cells
+        # includes the window overlaps — n_discovered is the
+        # discovery-level count comparable with score-only runs
+        out["n_discovered"] = len(
+            {s.get("source_index", i) for i, s in enumerate(ext)}
+        )
     return out
 
 

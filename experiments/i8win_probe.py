@@ -73,17 +73,20 @@ def main():
     g0, s0 = run_variant("baseline_i32win", uniform, False)
     try:
         g1, s1 = run_variant("i8win", uniform, True)
-        # same inputs (seed 0) must score identically across dtypes
-        np.testing.assert_allclose(s1, s0, atol=1e-2)
-        print(json.dumps({"i8win_speedup": round(g1 / g0, 3)}),
-              flush=True)
     except Exception as e:
         # measured on this toolchain: "Rotate with non-32-bit data: not
         # implemented" — the permute unit only rolls 32-bit vregs, so
         # the 4x-fewer-vregs window-roll lever is dead (docs/kernels.md
         # ceiling analysis)
-        print(json.dumps({"i8win": "compile failed",
-                          "error": str(e).split("\n")[0][:120]}),
+        msg = " ".join(str(e).split("\n"))[:160]
+        print(json.dumps({"i8win": "compile failed", "error": msg}),
+              flush=True)
+        g1 = None
+    if g1 is not None:
+        # parity OUTSIDE the try: a compiling-but-wrong-scoring variant
+        # must FAIL the probe, not be mislabeled a toolchain limitation
+        np.testing.assert_allclose(s1, s0, atol=1e-2)
+        print(json.dumps({"i8win_speedup": round(g1 / g0, 3)}),
               flush=True)
     run_variant("general_subst", general, False, n=2)
 

@@ -100,8 +100,11 @@ def run(genome_len=20000, read_len=3000, n_reads=24, err=0.12,
                 fn += 1
     return {
         "n_reads": n_reads, "err": err,
-        "precision": tp / max(tp + fp, 1),
+        # no predictions => precision is undefined (None), not 0.0 —
+        # "made no calls" must not read as "every call wrong"
+        "precision": tp / (tp + fp) if (tp + fp) else None,
         "recall": tp / max(tp + fn, 1),
+        "n_predictions": tp + fp,
         "diag_mae": float(np.mean(d_errs)) if d_errs else None,
     }
 

@@ -249,6 +249,11 @@ def main():
         rr5.integers(0, 4, (Bt, Lb), dtype=np.int8),
         np.full((Bt,), 10000, np.int32), np.full((Bt,), 10000, np.int32),
         np.full((Bt,), -(BW // 2), np.int32))]
+    # chars on host OUTSIDE the timed region (they were born on host;
+    # timing their D2H would charge the walk for a 10 MB transfer no
+    # real flow pays — and make this number incomparable with
+    # walk_probe's identically-named metric)
+    hs3, ht3 = np.asarray(targs3[0]), np.asarray(targs3[1])
     jax.block_until_ready(targs3)
     t0 = time.time()
     rest2 = banded_dp_pallas_ad(*targs3, with_dirs=True, **kwt)
@@ -257,8 +262,7 @@ def main():
         rest2.end_j.astype(jnp.int32), W=128)
     ops_dev2, _, _ = native.compact_sweep_ops(
         np.asarray(tr0), np.asarray(tr1), np.asarray(fi), np.asarray(fj),
-        np.asarray(targs3[0]), np.asarray(targs3[1]),
-        ModeFlags(local_start=True, local_end=True))
+        hs3, ht3, ModeFlags(local_start=True, local_end=True))
     gcups_dw = Bt * 10000 * BW / (time.time() - t0) / 1e9
     # bar: ~17x the dirs-D2H host-walk path (measured 0.03); kept well
     # under the 1.3-4.0 GCUPS observed range because the tunnel's D2H

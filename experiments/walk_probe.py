@@ -76,7 +76,10 @@ def throughput(rng, B=1024, L=10240, BW=100, n=2):
     dminq_j = jnp.asarray(dminq)
 
     def mkargs(seed):
-        rr = np.random.default_rng(seed * 7_000_003 + 5)
+        # distinct seed formula from bench.py's: identical contents at
+        # identical shapes would be identical EXECUTIONS, and the
+        # tunnel's cache can persist across processes in a session
+        rr = np.random.default_rng(seed * 9_000_013 + 4242)
         return [jnp.asarray(x) for x in (
             rr.integers(0, 4, (B, L), dtype=np.int8),
             rr.integers(0, 4, (B, L), dtype=np.int8),
@@ -93,7 +96,8 @@ def throughput(rng, B=1024, L=10240, BW=100, n=2):
         return res, tr0, tr1, fi, fj
 
     warm = launch(mkargs(0))
-    jax.block_until_ready(warm[1])
+    _ = np.asarray(warm[1])   # real completion: block_until_ready
+    # returns early through the tunnel
 
     argsets = [mkargs(k + 1) for k in range(n)]
     for a in argsets:
