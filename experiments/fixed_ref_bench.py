@@ -69,6 +69,20 @@ def run(ref_len=5_000_000, n_queries=100, query_len=10_000, err=0.10,
     tops += [one(q) for q in queries[1:]]
     t_query = time.time() - t0
 
+    # batch API: every query's candidate assembly is host work at this
+    # ref scale; ONE shared stats dispatch replaces the per-query one
+    t0 = time.time()
+    batch = wb.similar_segments_batch(queries, K_min=K_min, p_min=p_min)
+    t_batch = time.time() - t0
+    tops_b = [
+        max(segs, key=lambda s: s["num_seeds"]) if segs else None
+        for segs in batch
+    ]
+    assert all(
+        (a is None and b is None) or a["segment"] == b["segment"]
+        for a, b in zip(tops, tops_b)
+    ), "batch API diverged from the serial API"
+
     radius = 200  # generous d tolerance: band quantization is ~r(K_min)
     hit = 0
     for top, r0 in zip(tops, loci):
@@ -86,6 +100,8 @@ def run(ref_len=5_000_000, n_queries=100, query_len=10_000, err=0.10,
         "query_total_s": round(t_query, 2),
         "queries_per_s": round(
             (n_queries - 1) / max(t_query, 1e-9), 2),
+        "batch_total_s": round(t_batch, 2),
+        "batch_queries_per_s": round(n_queries / max(t_batch, 1e-9), 2),
         "locus_recall": hit / n_queries,
     }
 

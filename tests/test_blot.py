@@ -164,6 +164,31 @@ def test_local_ref_matches_pairwise(rng):
         assert b_ref["num_seeds"] == b_pair["num_seeds"]
 
 
+def test_local_ref_batch_matches_serial(rng):
+    """similar_segments_batch == per-query similar_segments, exactly
+    (same candidate assembly, one shared stats dispatch)."""
+    _, T, _, _ = _planted_pair(rng, flank=200, core=300)
+    ref = WordBlotLocalRef(T, wordlen=8, g_max=0.2)
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.02, ge_prob=0.05,
+                        rng=rng)
+    queries = [
+        rand_seq(A4, 150, rng=rng) + M.mutate(T[200:500])[0]
+        + rand_seq(A4, 100, rng=rng),
+        rand_seq(A4, 400, rng=rng),                 # unrelated
+        M.mutate(T[100:600])[0],
+    ]
+    batch = ref.similar_segments_batch(queries, K_min=100, p_min=0.5)
+    assert len(batch) == len(queries)
+    for q, got in zip(queries, batch):
+        want = list(ref.similar_segments(q, K_min=100, p_min=0.5))
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a["segment"] == b["segment"]
+            assert a["num_seeds"] == b["num_seeds"]
+            assert a["p"] == pytest.approx(b["p"], abs=1e-6)
+    assert batch[0] and not batch[1] and batch[2]
+
+
 def test_wordblot_multiple(rng):
     core = rand_seq(A4, 300, rng=rng)
     M = MutationProcess(A4, subst_probs=0.05, go_prob=0.01, ge_prob=0.05,
