@@ -118,8 +118,8 @@ def main():
 
     # (b) end-to-end transcripts via the ON-DEVICE sweep walk
     # (ops/pallas_walk.py): the dirs plane never leaves HBM — the walk
-    # kernel consumes it in place and ships a 1-byte-per-step op trace
-    # (~64x less D2H than the plane), compacted to MSID strings by one
+    # kernel consumes it in place and ships a 2-bit-per-step op trace
+    # (~128x less D2H than the plane), compacted to MSID strings by one
     # C++ pass.  Timed end to end: DP kernel + sweep + trace D2H +
     # compaction, pipelined over nd fresh batches like the score bench.
     from biseqt_tpu.ops.pallas_walk import traceback_sweep

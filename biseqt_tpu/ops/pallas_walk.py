@@ -6,8 +6,8 @@ direction plane on the host and walked it in C++
 fast; the device-to-host transfer is not — the plane is ~W/2 bytes per
 antidiagonal step per pair-row (config-1 geometry: ~1.3 GB per 1024
 pairs), and it dominates transcript-mode end-to-end even on production
-PCIe.  This kernel walks ON DEVICE and ships only a per-step op trace
-(1 byte per antidiagonal step per pair: 64x less transfer), which a
+PCIe.  This kernel walks ON DEVICE and ships only a 2-bit-per-step packed op
+trace (4 antidiagonal steps per byte: ~128x less transfer), which a
 tiny C++ pass compacts into MSID transcripts
 (:func:`biseqt_tpu.native.compact_sweep_ops`).
 
