@@ -360,7 +360,18 @@ def compact_sweep_ops(trace0, trace1, fin_i, fin_j, s_codes, t_codes,
         ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
         for b in range(B)
     ]
-    return ops, fin_i[:B].copy(), fin_j[:B].copy()
+    # anchored modes prepend D^i I^j tails, so the reported start is
+    # (0, 0) — matching bst_traceback_ad's post-tail cursor (the raw
+    # fin_* is the PRE-tail walk stop); skipped pairs keep -1
+    f = _flags_of(mode_flags)
+    anchored = not (f & (MODE_LOCAL_START | MODE_FREE_START_EDGES))
+    si = fin_i[:B].copy()
+    sj = fin_j[:B].copy()
+    if anchored:
+        live = si >= 0
+        si[live] = 0
+        sj[live] = 0
+    return ops, si, sj
 
 
 def dna_code_map(letters: str = "ACGT", lowercase: bool = True):

@@ -77,6 +77,45 @@ def test_device_walk_matches_native(rng, flags):
     assert n_checked >= B - 1
 
 
+def test_device_walk_degenerate_geometries(rng):
+    """Empty-origin global pair (all-insert transcript via anchored
+    tails) and a free-end row-0 optimum — the degenerate geometries
+    where walk engines historically rot."""
+    subst = np.full((4, 4), -100.0, np.float32)
+    s = np.asarray([[2, 2]], np.int8)
+    t = np.asarray([[0, 0]], np.int8)
+    tl = np.asarray([1], np.int32)
+    dmin = np.asarray([-64], np.int32)
+    for sl_v, flags in (
+        (0, ModeFlags()),                       # empty origin, global
+        (2, ModeFlags(free_end_edges=True)),    # free end on row 0
+    ):
+        sl = np.asarray([sl_v], np.int32)
+        res = banded_dp_pallas_ad(
+            jnp.asarray(s), jnp.asarray(t), jnp.asarray(sl),
+            jnp.asarray(tl), jnp.asarray(dmin), W=128, subst=subst,
+            go=-2.0, ge=-1.0, flags=flags,
+            w_eff=jnp.asarray([127], np.int32), interpret=True,
+            block_b=8, r_chunk=16, with_dirs=True)
+        dminq = parity_adjusted_dmin(dmin, np.zeros(1, np.int32))
+        end_i = np.asarray(res.end_i).astype(np.int32)
+        end_j = np.asarray(res.end_j).astype(np.int32)
+        ref_ops, ref_si, ref_sj = native.traceback_batch_ad(
+            np.asarray(res.dirs), dminq, s, t, sl, tl, end_i, end_j,
+            flags)
+        tr0, tr1, fi, fj = traceback_sweep(
+            jnp.asarray(res.dirs), jnp.asarray(dminq),
+            jnp.asarray(end_i), jnp.asarray(end_j), W=128, block_b=8,
+            r_rows=8, interpret=True)
+        got_ops, got_si, got_sj = native.compact_sweep_ops(
+            np.asarray(tr0), np.asarray(tr1), np.asarray(fi),
+            np.asarray(fj), s, t, flags)
+        assert got_ops[0] == ref_ops[0], (sl_v, flags, got_ops, ref_ops)
+        assert (got_si[0], got_sj[0]) == (ref_si[0], ref_sj[0])
+        if sl_v == 0:
+            assert got_ops[0] == "I"   # the all-gap global transcript
+
+
 def test_device_walk_skewed_lengths(rng):
     """The wrap-regression geometry: a 100-char T banding deep into a
     600-char S (dmin=480); walks must match the C++ tracer there too."""
