@@ -49,6 +49,13 @@ __all__ = [
 # band geometry math
 # ---------------------------------------------------------------------------
 
+# p-hat is computed in float32 on device (counts stay far below the
+# 2^24 float32 integer limit at any realistic component size); the
+# p_min threshold is applied with this margin so a component whose true
+# p-hat equals p_min cannot flip on float32 rounding
+P_MIN_EPS = 1e-5
+
+
 @functools.partial(jax.jit, static_argnames=("wordlen", "alphabet_len"))
 def _component_stats(ns, areas, seglens, *, wordlen: int,
                      alphabet_len: int):
@@ -343,7 +350,10 @@ class WordBlot:
         p_hats, s0s, s1s = _score_components(
             cand, self.wordlen, len(self.S.alphabet))
         for k, (d_lo, d_hi, a_lo, a_hi, n, seglen) in enumerate(cand):
-            if p_hats[k] < p_min:
+            # p-hat comes from float32 device math; the epsilon keeps
+            # components that sit exactly AT p_min from flipping on
+            # rounding (advisor round 3)
+            if p_hats[k] < p_min - P_MIN_EPS:
                 continue
             yield {
                 "segment": ((int(d_lo) - lt, int(d_hi) - lt),
@@ -665,7 +675,7 @@ class WordBlotLocalRef(_FixedRefBase):
         k = 0
         for qi, cc in enumerate(cands):
             for (d_lo, d_hi, a_lo, a_hi, n, seglen) in cc:
-                if p[k] >= p_min:
+                if p[k] >= p_min - P_MIN_EPS:
                     out[qi].append({
                         "segment": ((int(d_lo) - lt, int(d_hi) - lt),
                                     (int(a_lo), int(a_hi))),

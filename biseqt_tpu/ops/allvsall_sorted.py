@@ -120,11 +120,6 @@ def overlap_stats_sorted_chunked(codes, lengths, *, wordlen: int,
     return out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("wordlen", "alphabet_len", "bucket", "max_run",
-                     "n_reads", "n_local", "min_window"),
-)
 def overlap_stats_sorted(codes, lengths, *, wordlen: int,
                          n_reads: int, alphabet_len: int = 4,
                          bucket: int = 64, max_run: int = None,
@@ -149,12 +144,36 @@ def overlap_stats_sorted(codes, lengths, *, wordlen: int,
     band seed count), ``diag`` (band center diagonal, d = pos_q - pos_t),
     ``p`` (match-prob estimate), ``s0`` (H0 score), ``olap_len``.
     """
+    # resolve the cap (and emit auto_max_run's budget-starved warning)
+    # EAGERLY: resolving inside the jitted body made the diagnostic fire
+    # only on the first trace of a shape — cache-hit calls in the same
+    # process, and every call in a fresh process reusing the persistent
+    # compile cache, stayed silent (advisor round 3).  max_run is pure
+    # host math, so this also runs fine at trace time under shard_map.
+    if max_run is None:
+        max_run = auto_max_run(n_reads, codes.shape[1], wordlen,
+                               alphabet_len)
+    return _overlap_stats_sorted_impl(
+        codes, lengths, wordlen=wordlen, n_reads=n_reads,
+        alphabet_len=alphabet_len, bucket=bucket, max_run=int(max_run),
+        n_local=n_local, q_lo=q_lo, min_window=min_window,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wordlen", "alphabet_len", "bucket", "max_run",
+                     "n_reads", "n_local", "min_window"),
+)
+def _overlap_stats_sorted_impl(codes, lengths, *, wordlen: int,
+                               n_reads: int, alphabet_len: int,
+                               bucket: int, max_run: int,
+                               n_local: int = None, q_lo=None,
+                               min_window: int = 5):
     from . import blot_stats
 
     N, L = codes.shape
     assert N == n_reads
-    if max_run is None:   # trace-time: shapes are static under jit
-        max_run = auto_max_run(n_reads, L, wordlen, alphabet_len)
     if n_local is None:
         n_local = N
         q_lo = 0

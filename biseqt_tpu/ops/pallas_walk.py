@@ -74,7 +74,9 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
     # of 4 chunks (4 * 2*RC steps = 128 bytes) and flush once per group
     # with a synchronous ~8 KB DMA at the group's low chunk.
     steps_q = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
-    assert 256 % RC == 0 and RC % 2 == 0, RC
+    assert 256 % RC == 0 and RC % 2 == 0, (
+        "RC must be an even divisor of 256 (the caller clamps r_rows "
+        "to a power of two <= 256); got %r" % (RC,))
     GPC = 256 // RC            # chunks per 128-byte trace group
 
     dq0, dq1 = dq0_ref[:, :1], dq1_ref[:, :1]
@@ -237,7 +239,12 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     assert Wd == W and W % 128 == 0
     B = dminq.shape[0]        # may be < 2*B2 (the DP kernel pads planes)
     assert B <= 2 * B2 and end_i.shape == (B,) and end_j.shape == (B,)
-    RC = min(r_rows, Rp)
+    # the trace-group flush logic needs RC | 256 (a 128-byte group is a
+    # whole number of chunks) and RC even (nibble pairs) — clamp the
+    # requested r_rows DOWN to the largest power of two <= min(r_rows,
+    # Rp) instead of asserting on nondefault r_rows (advisor round 3)
+    RC = min(max(int(r_rows), 2), max(Rp, 2), 256)
+    RC = 1 << (RC.bit_length() - 1)
     Rpp = _round_up(Rp, RC)
     if Rpp != Rp:
         dirs = jnp.pad(dirs, ((0, 0), (0, Rpp - Rp), (0, 0)))

@@ -94,7 +94,10 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         src_idx = []
         for k, seg in enumerate(segments):
             (d_lo, d_hi), (a_lo, a_hi) = seg["segment"]
-            W_est = max(d_hi - d_lo + 1 + 2 * pad_radius, 128)
+            # size the estimate with the SAME bucketing the launch uses
+            # for W, so the budget is an actual upper bound on the plane
+            # (the raw width underestimates by the bucket margin)
+            W_est = _bucket(d_hi - d_lo + 1 + 2 * pad_radius, mini=128)
             max_a = max(2 * DIRS_BUDGET // W_est, 8 * pad_a)
             span = a_hi - a_lo + 1
             if span <= max_a:
