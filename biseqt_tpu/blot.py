@@ -763,11 +763,25 @@ class WordBlotMultiple:
             (n / K) ** (1.0 / (self.wordlen * n_other)), 0.0, 1.0
         ))
 
-    def similar_segments(self, K_min: int, p_min: float) -> Iterable[Dict]:
+    def similar_segments(self, K_min: int, p_min: float,
+                         min_score: float = 25.0) -> Iterable[Dict]:
         """Cluster N-way seeds by their diagonal tuple + antidiagonal cell.
 
         Yields ``{'segment': (((d_lo, d_hi),) * (N-1), (a_min, a_max)),
-        'p': p̂, 'num_seeds': n}``.
+        'p': p̂, 'score': (S0, S1), 'num_seeds': n}``.
+
+        Candidates are gated on H0 rejection (``S0 >= min_score``,
+        mirroring the pairwise/overlap contract of ``biseqt/blot.py —
+        WordBlotMultiple``) IN ADDITION to p̂ >= p_min: an N-way seed
+        survives in all N sequences, so the p̂ estimator takes the
+        ``1/((N-1) w)``-th root of the density — background k-mer soup
+        at low ``p_min`` easily clears the p̂ threshold (a couple of
+        chance tuples at K=500, w=4, N=3 give p̂ ~ 0.6) while its count
+        is perfectly explained by the ``|Σ|^-((N-1) w)`` background
+        rate.  Pass ``min_score=None`` to disable the gate.  The H0/H1
+        statistics are the pairwise ones with effective word length
+        ``(N-1) * w`` (tuple match probability p^((N-1)w), background
+        |Σ|^-((N-1)w)) over the area = Π band widths × seglen.
         """
         seeds = self.seed_index.seeds()
         if not seeds:
@@ -809,6 +823,10 @@ class WordBlotMultiple:
 
         max_cols = float(min(len(s) for s in self.seqs))
         rr = max(r, 1)
+        # collect every candidate run first, then score them all in ONE
+        # bucketed stats dispatch (the pairwise _score_components
+        # machinery with effective word length (N-1) * w)
+        pend = []
         for c in clusters.values():
             members = sorted(c["members"], key=lambda m: m[1])
             # split into antidiagonal runs with gaps > 2*acell
@@ -820,6 +838,15 @@ class WordBlotMultiple:
                     run = []
                 run.append(m)
             runs.append(run)
+            d_bands = tuple(
+                (min(ds[ax] for ds in c["cells"]) * rr - r,
+                 (max(ds[ax] for ds in c["cells"]) + 1) * rr + r)
+                for ax in range(len(c["cells"][0]))
+            )
+            # tuple-position area: Π (non-pivot band widths) × seglen
+            width_prod = 1.0
+            for (dl, dh) in d_bands:
+                width_prod *= float(dh - dl + 1)
             for run in runs:
                 a_lo, a_hi = run[0][1], run[-1][1]
                 seglen = max(min((a_hi - a_lo) / 2.0, max_cols),
@@ -827,16 +854,33 @@ class WordBlotMultiple:
                 if seglen < K_min:
                     continue
                 n = len(run)
-                p_hat = self.estimate_match_probability(n, seglen)
-                if p_hat < p_min:
-                    continue
-                d_bands = tuple(
-                    (min(ds[ax] for ds in c["cells"]) * rr - r,
-                     (max(ds[ax] for ds in c["cells"]) + 1) * rr + r)
-                    for ax in range(len(c["cells"][0]))
-                )
-                yield {
-                    "segment": (d_bands, (int(a_lo), int(a_hi))),
-                    "p": p_hat,
-                    "num_seeds": n,
-                }
+                pend.append((d_bands, int(a_lo), int(a_hi), n, seglen,
+                             width_prod * seglen))
+        if not pend:
+            return
+        w_eff = self.wordlen * (len(self.seqs) - 1)
+        from .seeds import _shape_bucket
+
+        m = len(pend)
+        pad = _shape_bucket(m, mini=64)
+        ns = np.zeros(pad, np.float32)
+        seglens = np.ones(pad, np.float32)
+        areas = np.ones(pad, np.float32)
+        for k, (_, _, _, n, seglen, area) in enumerate(pend):
+            ns[k], seglens[k], areas[k] = n, seglen, area
+        p_hats, s0s, s1s = _component_stats(
+            jnp.asarray(ns), jnp.asarray(areas), jnp.asarray(seglens),
+            wordlen=w_eff, alphabet_len=len(self.seqs[0].alphabet))
+        p_hats, s0s, s1s = (np.asarray(p_hats), np.asarray(s0s),
+                            np.asarray(s1s))
+        for k, (d_bands, a_lo, a_hi, n, seglen, _) in enumerate(pend):
+            if p_hats[k] < p_min - P_MIN_EPS:
+                continue
+            if min_score is not None and s0s[k] < min_score:
+                continue
+            yield {
+                "segment": (d_bands, (a_lo, a_hi)),
+                "p": float(p_hats[k]),
+                "score": (float(s0s[k]), float(s1s[k])),
+                "num_seeds": n,
+            }

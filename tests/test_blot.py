@@ -207,6 +207,29 @@ def test_wordblot_multiple(rng):
     assert len(d_bands) == 2
     # core occupies i0 in [100, 400) -> antidiagonal range ~ [200, 800)
     assert a_lo < 800 and a_hi > 200
+    # the N-way contract carries the H0/H1 significance pair like the
+    # pairwise one; a true 3-way homology rejects H0 decisively
+    s0, s1 = best["score"]
+    assert s0 >= 25.0
+    assert s1 < s0
+
+
+def test_wordblot_multiple_significance_gate(rng):
+    """Background k-mer soup clears p-hat at low p_min (the 1/((N-1)w)
+    root compresses tiny densities toward ~0.5) but has no H0 evidence —
+    the S0 gate must reject it, and must be the load-bearing filter."""
+    seqs = [rand_seq(A4, 500, rng=rng) for _ in range(3)]
+    wbm = WordBlotMultiple(*seqs, wordlen=4, g_max=0.15)
+    gated = list(wbm.similar_segments(K_min=50, p_min=0.35))
+    assert not gated, "unrelated sequences produced 'significant' N-way segments"
+    # p-hat alone WOULD false-positive here: without the gate the same
+    # sweep yields background runs, proving the gate is doing the work
+    ungated = list(wbm.similar_segments(K_min=50, p_min=0.35,
+                                        min_score=None))
+    assert ungated, (
+        "background produced no p-hat-passing runs; the gate test is "
+        "vacuous — lower p_min or wordlen"
+    )
 
 
 def test_sparse_segments_match_dense(rng):
