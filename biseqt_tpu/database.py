@@ -70,7 +70,10 @@ def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
                 chunks = []
                 pos = line_start
             elif line_s:
-                chunks.append(line_s)
+                # drop ALL whitespace in sequence data (not just line
+                # edges) — identical to the native packer's semantics,
+                # so the two ingest paths agree byte-for-byte
+                chunks.append("".join(line_s.split()))
         if name is not None:
             yield _mk_named(alphabet, name, chunks), pos
     finally:
@@ -80,7 +83,7 @@ def read_fasta(path_or_file, alphabet: Alphabet, num: int = -1):
 
 def _mk_named(alphabet, name, chunks):
     seq = alphabet.parse("".join(chunks).upper())
-    return NamedSequence(alphabet, seq.contents, name=name)
+    return NamedSequence(alphabet, seq.to_array(np.int8), name=name)
 
 
 def write_fasta(f, seqs: Iterable[Sequence], width: int = 80):
@@ -202,11 +205,69 @@ class DB:
         reverse complement (attrs carry ``rc_of`` pointing at the forward
         record's content id).  DNA-complement mapping ['AT', 'CG'] is
         assumed for rc.
+
+        Whole-file ingests of a path go through the C++ streaming packer
+        (:func:`biseqt_tpu.native.fasta_pack`) when the native library is
+        available and the alphabet is single-char ASCII — a 5 Mbp genome
+        packs in milliseconds where the per-letter Python reader takes
+        minutes.  Both paths have IDENTICAL letter semantics: whitespace
+        in sequence data is dropped, lowercase is accepted, and any
+        other unmapped letter raises ValueError (silent skipping would
+        shift every downstream coordinate; reference contract
+        ``biseqt/database.py — DB.load_fasta``).
         """
         if source_file is None and isinstance(path_or_file, str):
             source_file = path_or_file
+        if isinstance(path_or_file, str) and num < 0:
+            # (num-limited loads keep the lazy Python reader so a bad
+            # letter BEYOND the requested records does not raise — the
+            # native scan validates the whole file up front)
+            out = self._load_fasta_native(path_or_file, rc, source_file)
+            if out is not None:
+                return out
         out = []
         for seq, pos in read_fasta(path_or_file, self.alphabet, num=num):
+            rec = self.insert(seq, source_file=source_file, source_pos=pos)
+            if rec is not None:
+                out.append(rec)
+            if rc:
+                rcseq = seq.reverse().transform(
+                    ["AT", "CG"], name="(rc of %s)" % seq.name
+                )
+                rrec = self.insert(
+                    rcseq, source_file=source_file, source_pos=pos,
+                    attrs={"rc_of": seq.content_id},
+                )
+                if rrec is not None:
+                    out.append(rrec)
+        return out
+
+    def _load_fasta_native(self, path: str, rc: bool,
+                           source_file: str) -> Optional[List[Record]]:
+        """C++-packer ingest tier; None = fall back to the Python reader
+        (multi-char/non-ASCII alphabet, or the .so is unavailable)."""
+        lut = self.alphabet._byte_lut()
+        if lut is None:
+            return None
+        from . import native
+
+        if not native.available():
+            return None
+        code_map = lut.astype(np.int8)
+        # lowercase acceptance parity: the Python reader upper()s before
+        # parsing (skip letters whose lowercase byte is already claimed)
+        for i, ch in enumerate(self.alphabet.letters):
+            lo = ord(ch.lower())
+            if lo < 128 and code_map[lo] < 0:
+                code_map[lo] = i
+        codes, offsets, lengths, names, header_pos = native.fasta_pack(
+            path, code_map
+        )
+        out = []
+        for r in range(len(names)):
+            arr = codes[offsets[r]:offsets[r] + lengths[r]]
+            seq = NamedSequence(self.alphabet, arr, name=names[r])
+            pos = int(header_pos[r])
             rec = self.insert(seq, source_file=source_file, source_pos=pos)
             if rec is not None:
                 out.append(rec)
@@ -246,7 +307,7 @@ class DB:
         codes = self._load_contents(rec.content_id)
         name = rec.attrs.get("name", "")
         return NamedSequence(
-            self.alphabet, [int(c) for c in codes], name=name or ""
+            self.alphabet, np.asarray(codes, np.int8), name=name or ""
         )
 
     def __len__(self):

@@ -42,8 +42,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        _build()
+    # always run make: it is a no-op when the .so is fresh, and loading
+    # a stale .so after an ABI change in pwnative.cpp corrupts memory
+    _build()
     lib = ctypes.CDLL(_SO)
     lib.bst_align.restype = ctypes.c_int
     lib.bst_align.argtypes = [
@@ -95,11 +96,13 @@ def _load():
     lib.bst_fasta_scan.restype = ctypes.c_int
     lib.bst_fasta_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.bst_fasta_pack.restype = ctypes.c_int64
     lib.bst_fasta_pack.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -388,7 +391,16 @@ def fasta_pack(path: str, code_map=None):
     """Stream-parse FASTA into packed codes at C speed.
 
     Returns ``(codes int8[total], offsets int64[n], lengths int64[n],
-    names list[str])``.
+    names list[str], header_pos int64[n])`` — ``header_pos[r]`` is the
+    byte offset of record r's ``>`` line (the DB ``source_pos``
+    contract).
+
+    Raises ValueError if the file contains any non-whitespace sequence
+    byte the code map does not cover (e.g. an ``N`` under the plain
+    ACGT map): silently skipping a base would SHIFT every downstream
+    coordinate of that record — identical strictness to the Python
+    reader (``database.read_fasta`` -> ``Alphabet.parse``).  To accept
+    ambiguity codes, pass a ``code_map`` that maps them explicitly.
     """
     lib = _load()
     if code_map is None:
@@ -396,15 +408,28 @@ def fasta_pack(path: str, code_map=None):
     code_map = np.ascontiguousarray(code_map, np.int8)
     n = ctypes.c_int64()
     total = ctypes.c_int64()
+    n_unknown = ctypes.c_int64()
+    first_unknown = ctypes.c_int()
+    unknown_pos = ctypes.c_int64()
     rc = lib.bst_fasta_scan(
         path.encode(), code_map.ctypes.data,
         ctypes.byref(n), ctypes.byref(total),
+        ctypes.byref(n_unknown), ctypes.byref(first_unknown),
+        ctypes.byref(unknown_pos),
     )
     assert rc == 0, "cannot read %s" % path
+    if int(n_unknown.value):
+        raise ValueError(
+            "letter %r not in alphabet (%d unmapped byte(s) in %s, "
+            "first at file offset %d)" % (
+                chr(int(first_unknown.value)), int(n_unknown.value),
+                path, int(unknown_pos.value),
+            ))
     nrec = int(n.value)
     codes = np.zeros((int(total.value),), np.int8)
     offsets = np.zeros((max(nrec, 1),), np.int64)
     lengths = np.zeros((max(nrec, 1),), np.int64)
+    header_pos = np.zeros((max(nrec, 1),), np.int64)
     names_cap = 1 << 20
     while True:
         names_buf = ctypes.create_string_buffer(names_cap)
@@ -412,6 +437,7 @@ def fasta_pack(path: str, code_map=None):
         got = lib.bst_fasta_pack(
             path.encode(), code_map.ctypes.data,
             codes.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            header_pos.ctypes.data,
             names_buf, names_cap, ctypes.byref(needed),
         )
         assert got == nrec, (got, nrec)
@@ -423,4 +449,4 @@ def fasta_pack(path: str, code_map=None):
     names = names_buf.raw.split(b"\0")[:nrec]
     return codes, offsets[:nrec], lengths[:nrec], [
         x.decode("ascii", "replace") for x in names
-    ]
+    ], header_pos[:nrec]

@@ -446,47 +446,74 @@ int bst_compact_sweep_batch(
 // ---------------------------------------------------------------------
 
 // Pass 1: count records and total packed length (letters present in the
-// 256-entry code map with value >= 0).
+// 256-entry code map with value >= 0).  Whitespace inside sequence data
+// is skipped; any OTHER unmapped byte is counted in n_unknown and the
+// first one is reported (byte value in *first_unknown, its file offset
+// in *unknown_pos) so the binding can raise instead of silently
+// dropping letters — a dropped base SHIFTS every downstream coordinate
+// of the record.
+static inline bool fasta_ws(int c) {
+    return c == '\n' || c == '\r' || c == ' ' || c == '\t';
+}
+
 int bst_fasta_scan(const char* path, const int8_t* code_map,
-                   int64_t* n_records, int64_t* total_len) {
+                   int64_t* n_records, int64_t* total_len,
+                   int64_t* n_unknown, int* first_unknown,
+                   int64_t* unknown_pos) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    int64_t nrec = 0, total = 0;
-    int c;
+    int64_t nrec = 0, total = 0, unknown = 0, fpos = -1, upos = -1;
+    int c, first = -1;
     bool in_header = false;
     while ((c = std::fgetc(f)) != EOF) {
+        ++fpos;
         if (c == '>') { in_header = true; ++nrec; continue; }
         if (c == '\n') { in_header = false; continue; }
         if (in_header) continue;
         if (code_map[(unsigned char)c] >= 0) ++total;
+        else if (!fasta_ws(c)) {
+            ++unknown;
+            if (first < 0) { first = c; upos = fpos; }
+        }
     }
     std::fclose(f);
     *n_records = nrec;
     *total_len = total;
+    if (n_unknown) *n_unknown = unknown;
+    if (first_unknown) *first_unknown = first;
+    if (unknown_pos) *unknown_pos = upos;
     return 0;
 }
 
 // Pass 2: pack codes into a flat buffer; offsets[r] = start of record r,
-// lengths[r] = its length; names flattened into names_buf separated by
-// '\0' (caller sizes via scan + name_cap). Returns number of records.
-// names_needed (optional out): bytes required to hold every name + its
-// NUL.  When it exceeds names_cap the buffer content is TRUNCATED and
-// must not be trusted (a silently dropped terminator would shift every
-// later name) — the binding retries with the reported size.
+// lengths[r] = its length; header_pos[r] (optional) = BYTE offset of
+// record r's '>' in the file (the DB's source_pos contract); names
+// flattened into names_buf separated by '\0' (caller sizes via scan +
+// name_cap). Returns number of records.  Unmapped non-whitespace bytes
+// are skipped HERE (the binding raises from the scan before packing
+// unless the caller opted into a mapping), so the skip can never be
+// hit silently.  names_needed (optional out): bytes required to hold
+// every name + its NUL.  When it exceeds names_cap the buffer content
+// is TRUNCATED and must not be trusted (a silently dropped terminator
+// would shift every later name) — the binding retries with the
+// reported size.
 int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
                        int8_t* codes, int64_t* offsets, int64_t* lengths,
+                       int64_t* header_pos,
                        char* names_buf, int64_t names_cap,
                        int64_t* names_needed) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    int64_t rec = -1, pos = 0, name_pos = 0, name_need = 0;
+    int64_t rec = -1, pos = 0, name_pos = 0, name_need = 0, fpos = -1;
     bool in_header = false, header_started = false;
     int c;
     while ((c = std::fgetc(f)) != EOF) {
+        ++fpos;
         if (c == '>') {
             if (rec >= 0) lengths[rec] = pos - offsets[rec];
             ++rec;
             offsets[rec] = pos;
+            if (header_pos) header_pos[rec] = fpos;
             in_header = true;
             header_started = true;
             continue;
@@ -506,7 +533,6 @@ int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
             }
             continue;
         }
-        if (c == '\n' || c == '\r') continue;
         int8_t code = code_map[(unsigned char)c];
         if (code >= 0) codes[pos++] = code;
     }

@@ -99,6 +99,25 @@ class Alphabet:
                 "text length %d not a multiple of letter length %d"
                 % (len(text), ll)
             )
+        # vectorized path for 1-char ASCII alphabets (the DNA/protein
+        # case): a 256-entry byte->code table replaces the per-letter
+        # dict lookups — genome-scale parses drop from seconds to ms.
+        # Unknown letters raise exactly like the dict path.
+        if ll == 1:
+            lut = self._byte_lut()
+            if lut is not None:
+                try:
+                    raw = np.frombuffer(text.encode("ascii"), np.uint8)
+                except UnicodeEncodeError:
+                    raw = None
+                if raw is not None:
+                    codes = lut[raw]
+                    bad = codes < 0
+                    if bad.any():
+                        raise ValueError(
+                            "letter %r not in alphabet"
+                            % (text[int(np.argmax(bad))],))
+                    return Sequence(self, codes)
         try:
             contents = tuple(
                 self._index[text[i : i + ll]] for i in range(0, len(text), ll)
@@ -106,6 +125,23 @@ class Alphabet:
         except KeyError as e:
             raise ValueError("letter %r not in alphabet" % (e.args[0],))
         return Sequence(self, contents)
+
+    def _byte_lut(self):
+        """256-entry byte -> code int16 table (-1 = unknown), or None if
+        the alphabet is not single-char ASCII.  Cached; shared by
+        :meth:`parse` and the native FASTA packer's code map."""
+        if self._letlen != 1:
+            return None
+        lut = getattr(self, "_byte_lut_cache", None)
+        if lut is None:
+            lut = np.full((256,), -1, np.int16)
+            for i, ch in enumerate(self.letters):
+                o = ord(ch)
+                if o > 127:
+                    return None
+                lut[o] = i
+            self._byte_lut_cache = lut
+        return lut
 
     def transform(self, seq: "Sequence", mappings=()) -> "Sequence":
         """Apply letter mappings (e.g. complementing) producing a new Sequence.
@@ -115,7 +151,9 @@ class Alphabet:
         reference does for complements: ``['AT', 'CG']``).
         """
         table = _mapping_table(self, mappings)
-        return Sequence(self, tuple(table[c] for c in seq.contents))
+        return Sequence(
+            self, np.asarray(table, np.int8)[seq.to_array(np.int8)]
+        )
 
 
 def _mapping_table(alphabet: Alphabet, mappings) -> list:
@@ -156,14 +194,37 @@ class Sequence:
 
     def __init__(self, alphabet: Alphabet, contents: TypingSequence[int] = ()):
         assert isinstance(alphabet, Alphabet)
-        contents = tuple(int(c) for c in contents)
-        if contents:
-            mx = max(contents)
-            mn = min(contents)
-            if mn < 0 or mx >= len(alphabet):
+        # array-first storage: genome-scale sequences arrive as packed
+        # int8 code arrays (the native FASTA packer, the DB pool) and a
+        # per-letter ``tuple(int(c) ...)`` pass costs seconds at 5 Mbp.
+        # The public ``contents`` tuple is materialized lazily; every
+        # container/algebra op below works off the array.
+        if isinstance(contents, np.ndarray):
+            # own copy: freezing a caller's buffer (or aliasing one it
+            # later mutates) must not be observable
+            arr = np.array(contents, np.int8)
+            self._contents = None
+        else:
+            tup = tuple(int(c) for c in contents)
+            arr = np.asarray(tup, np.int8)
+            self._contents = tup
+        if arr.ndim != 1:
+            raise ValueError("sequence codes must be one-dimensional")
+        if arr.size:
+            if int(arr.min()) < 0 or int(arr.max()) >= len(alphabet):
                 raise ValueError("letter code out of range for alphabet")
+        arr.flags.writeable = False
         self.alphabet = alphabet
-        self.contents = contents
+        self._arr = arr
+
+    @property
+    def contents(self) -> tuple:
+        """Integer-code tuple (reference parity).  Lazy: prefer
+        :meth:`to_array` in compute paths — materializing the tuple of a
+        genome costs a per-letter Python pass."""
+        if self._contents is None:
+            self._contents = tuple(self._arr.tolist())
+        return self._contents
 
     # -- identity -------------------------------------------------------------
     @property
@@ -176,17 +237,17 @@ class Sequence:
 
     # -- container protocol ---------------------------------------------------
     def __len__(self) -> int:
-        return len(self.contents)
+        return self._arr.shape[0]
 
     def __bool__(self) -> bool:
-        return len(self.contents) > 0
+        return self._arr.shape[0] > 0
 
     __nonzero__ = __bool__
 
     def __getitem__(self, key):
         if isinstance(key, slice):
-            return Sequence(self.alphabet, self.contents[key])
-        return self.contents[key]
+            return Sequence(self.alphabet, self._arr[key])
+        return int(self._arr[key])
 
     def __iter__(self):
         return iter(self.contents)
@@ -195,36 +256,51 @@ class Sequence:
         return (
             isinstance(other, Sequence)
             and self.alphabet == other.alphabet
-            and self.contents == other.contents
+            and np.array_equal(self._arr, other._arr)
         )
 
     def __ne__(self, other) -> bool:
         return not self == other
 
     def __hash__(self):
-        return hash((self.alphabet.letters, self.contents))
+        return hash((self.alphabet.letters, self._arr.tobytes()))
 
     def __add__(self, other) -> "Sequence":
         if isinstance(other, Sequence):
             assert self.alphabet == other.alphabet
-            return Sequence(self.alphabet, self.contents + other.contents)
+            return Sequence(
+                self.alphabet, np.concatenate([self._arr, other._arr])
+            )
         # allow raw iterables of codes
-        return Sequence(self.alphabet, self.contents + tuple(other))
+        return Sequence(
+            self.alphabet,
+            np.concatenate([
+                self._arr, np.asarray(tuple(other), np.int8)
+            ]),
+        )
 
     def __str__(self) -> str:
-        return "".join(self.alphabet[c] for c in self.contents)
+        # vectorized render for 1-char ASCII alphabets (content_id hashes
+        # the text, so this is on the ingest path at genome scale)
+        lut = self.alphabet._byte_lut()
+        if lut is not None:
+            txt_lut = np.zeros((len(self.alphabet),), np.uint8)
+            for i, ch in enumerate(self.alphabet.letters):
+                txt_lut[i] = ord(ch)
+            return txt_lut[self._arr].tobytes().decode("ascii")
+        return "".join(self.alphabet[c] for c in self._arr.tolist())
 
     def __repr__(self) -> str:
-        txt = str(self)
-        if len(txt) > 40:
-            txt = txt[:37] + "..."
+        if len(self) > 40:
+            txt = str(self[:37]) + "..."
+        else:
+            txt = str(self)
         return "Sequence(%r)" % txt
 
     # -- algebra --------------------------------------------------------------
     def reverse(self, name: str = None) -> "Sequence":
         """The reversed sequence."""
-        s = Sequence(self.alphabet, tuple(reversed(self.contents)))
-        return s
+        return Sequence(self.alphabet, self._arr[::-1])
 
     def transform(self, mappings=(), name: str = None) -> "Sequence":
         """Letter-mapped copy (e.g. ``transform(['AT','CG'])`` complements DNA)."""
@@ -233,7 +309,9 @@ class Sequence:
     # -- device lowering ------------------------------------------------------
     def to_array(self, dtype=np.int8) -> np.ndarray:
         """Dense integer-code array (the device-side representation)."""
-        return np.asarray(self.contents, dtype=dtype)
+        if np.dtype(dtype) == np.int8:
+            return self._arr
+        return self._arr.astype(dtype)
 
 
 class NamedSequence(Sequence):
@@ -250,7 +328,7 @@ class NamedSequence(Sequence):
 
     @classmethod
     def wrap(cls, seq: Sequence, name: str = "") -> "NamedSequence":
-        return cls(seq.alphabet, seq.contents, name=name)
+        return cls(seq.alphabet, seq._arr, name=name)
 
     @property
     def content_id(self) -> str:
@@ -263,15 +341,13 @@ class NamedSequence(Sequence):
     def reverse(self, name=None) -> "NamedSequence":
         if name is None:
             name = "(reverse of %s)" % self.name
-        return NamedSequence(
-            self.alphabet, tuple(reversed(self.contents)), name=name
-        )
+        return NamedSequence(self.alphabet, self._arr[::-1], name=name)
 
     def transform(self, mappings=(), name=None) -> "NamedSequence":
         if name is None:
             name = "(transform of %s)" % self.name
         base = self.alphabet.transform(self, mappings)
-        return NamedSequence(self.alphabet, base.contents, name=name)
+        return NamedSequence(self.alphabet, base._arr, name=name)
 
     def __repr__(self):
         return "NamedSequence(%r, name=%r)" % (str(self)[:24], self.name)
@@ -284,7 +360,7 @@ class NamedSequence(Sequence):
         )
 
     def __hash__(self):
-        return hash((self.alphabet.letters, self.contents, self.name))
+        return hash((self.alphabet.letters, self._arr.tobytes(), self.name))
 
 
 class EditTranscript(str):
@@ -350,7 +426,7 @@ def pack_sequences(seqs, pad_to: int = None, dtype=np.int8):
     rows = []
     for s in seqs:
         if isinstance(s, Sequence):
-            rows.append(np.asarray(s.contents, dtype=np.int64))
+            rows.append(s.to_array(np.int64))
         else:
             rows.append(np.asarray(tuple(s), dtype=np.int64))
     n = len(rows)
@@ -376,4 +452,4 @@ def unpack_sequence(alphabet: Alphabet, codes, length=None) -> Sequence:
         valid = codes != PAD
         if not valid.all():
             codes = codes[: int(np.argmin(valid))]
-    return Sequence(alphabet, [int(c) for c in codes])
+    return Sequence(alphabet, np.asarray(codes, np.int8))

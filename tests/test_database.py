@@ -96,6 +96,40 @@ def test_packed_batch():
     assert lengths.tolist() == [16, 8]
 
 
+def test_fasta_ingest_native_matches_python(tmp_path):
+    """The C++ packer tier and the Python reader produce IDENTICAL
+    records: content ids, names, source byte offsets, sequences."""
+    p = str(tmp_path / "g.fa")
+    with open(p, "w") as f:
+        # lowercase + internal whitespace exercise the letter semantics
+        f.write(">a desc\nACGT\nacg t\n>b\nTT\nGG\n")
+    db_native = DB(":memory:", A4)
+    recs_n = db_native.load_fasta(p)          # str path + num<0 -> native
+    db_py = DB(":memory:", A4)
+    with open(p) as f:                        # file object -> Python reader
+        recs_p = db_py.load_fasta(f, source_file=p)
+    assert len(recs_n) == len(recs_p) == 2
+    for rn, rp in zip(recs_n, recs_p):
+        assert rn.content_id == rp.content_id
+        assert rn.source_pos == rp.source_pos
+        assert rn.attrs["name"] == rp.attrs["name"]
+        assert db_native.load_from_record(rn) == db_py.load_from_record(rp)
+    assert str(db_native.load_from_record(recs_n[0])) == "ACGTACGT"
+
+
+def test_fasta_ingest_unknown_letter_raises_both_paths(tmp_path):
+    """Ambiguity codes raise in BOTH ingest tiers (never silent skip —
+    a dropped base shifts every downstream coordinate)."""
+    p = str(tmp_path / "bad.fa")
+    with open(p, "w") as f:
+        f.write(">r\nACGTNACGT\n")
+    with pytest.raises(ValueError):
+        DB(":memory:", A4).load_fasta(p)               # native tier
+    with open(p) as f:
+        with pytest.raises(ValueError):
+            DB(":memory:", A4).load_fasta(f)           # Python reader
+
+
 def test_find_sql_condition():
     db = DB(":memory:", A4)
     db.load_fasta(io.StringIO(FASTA))

@@ -114,14 +114,32 @@ def test_native_dirs_compatible_with_lax_walker(rng):
 def test_fasta_pack(tmp_path):
     p = str(tmp_path / "x.fa")
     with open(p, "w") as f:
-        f.write(">read1 some description\nACGTacgt\nNNGG\n>read2\nTTTT\n")
-    codes, offsets, lengths, names = native.fasta_pack(p)
+        f.write(">read1 some description\nACGTacgt\nGG GG\n>read2\nTTTT\n")
+    codes, offsets, lengths, names, header_pos = native.fasta_pack(p)
     assert names == ["read1", "read2"]
-    assert lengths.tolist() == [10, 4]  # N's skipped
+    assert lengths.tolist() == [12, 4]  # whitespace dropped, case folded
+    assert header_pos.tolist() == [0, 39]  # byte offsets of the '>'s
     r1 = codes[offsets[0]:offsets[0] + lengths[0]]
-    assert r1.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2, 2]
+    assert r1.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 2, 2, 2, 2]
     r2 = codes[offsets[1]:offsets[1] + lengths[1]]
     assert r2.tolist() == [3, 3, 3, 3]
+
+
+def test_fasta_pack_unknown_letter_raises(tmp_path):
+    """An unmapped base must raise, never silently skip: a dropped
+    letter shifts every downstream coordinate of the record."""
+    import pytest
+
+    p = str(tmp_path / "bad.fa")
+    with open(p, "w") as f:
+        f.write(">r\nACGTNACGT\n")
+    with pytest.raises(ValueError, match="'N'"):
+        native.fasta_pack(p)
+    # mapping the ambiguity code explicitly is the opt-in
+    cm = native.dna_code_map("ACGTN")
+    codes, _, lengths, _, _ = native.fasta_pack(p, cm)
+    assert lengths.tolist() == [9]
+    assert codes.tolist() == [0, 1, 2, 3, 4, 0, 1, 2, 3]
 
 
 def test_aligner_native_backend_matches_lax(rng):
