@@ -62,8 +62,22 @@ def run(Ks=(100, 400, 1600), gs=(0.05, 0.15, 0.3), sensitivity=0.99,
 
 
 def main():
-    for row in run():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dumpfile", default=None)
+    ap.add_argument("--plot", nargs="?", const="band_radius.png",
+                    default=None, metavar="PNG",
+                    help="render the containment figure (from the cached "
+                         "dumpfile when present — no recompute)")
+    args = ap.parse_args()
+    rows = run(dumpfile=args.dumpfile)
+    for row in rows:
         print(json.dumps(row))
+    if args.plot:
+        from figures import plot_band_radius
+
+        plot_band_radius(rows, args.plot)
 
 
 if __name__ == "__main__":

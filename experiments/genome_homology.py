@@ -124,19 +124,40 @@ def main():
     ap.add_argument("--transcripts", action="store_true",
                     help="extend with MSID transcripts (on-device sweep "
                          "walk); reports total ops + match fraction")
+    ap.add_argument("--dumpfile", default=None,
+                    help="cache the run's rows (pickle); a later --plot "
+                         "re-renders without re-running the chip")
+    ap.add_argument("--plot", nargs="?", const="genome_phases.png",
+                    default=None, metavar="PNG",
+                    help="render per-phase wall-clock bars + GCUPS")
     args = ap.parse_args()
     size = 100_000 if args.quick else args.size
     n_blocks = 4 if args.quick else 8
 
-    if args.warm:
-        warmup = run_once(1, size, n_blocks, args.wordlen, args.transcripts)
-        print(json.dumps({"pass": "cold", **warmup}))
-    res = run_once(2 if args.warm else 1, size, n_blocks, args.wordlen, args.transcripts)
-    if args.warm:
-        res = {"pass": "warm", **res}
-    print(json.dumps(res))
+    from biseqt_tpu.utils import with_dumpfile
+
+    @with_dumpfile
+    def _runs():
+        rows = []
+        if args.warm:
+            rows.append({"pass": "cold", **run_once(
+                1, size, n_blocks, args.wordlen, args.transcripts)})
+        res = run_once(2 if args.warm else 1, size, n_blocks,
+                       args.wordlen, args.transcripts)
+        if args.warm:
+            res = {"pass": "warm", **res}
+        rows.append(res)
+        return rows
+
+    rows = _runs(dumpfile=args.dumpfile)
+    for res in rows:
+        print(json.dumps(res))
     from biseqt_tpu.profiling import report
     print(report())
+    if args.plot:
+        from figures import plot_genome_phases
+
+        plot_genome_phases(rows, args.plot)
 
 
 if __name__ == "__main__":

@@ -118,19 +118,32 @@ def main():
     ap.add_argument("--n-reads", type=int, default=1000)
     ap.add_argument("--min-window", type=int, default=5)
     ap.add_argument("--dumpfile", default=None)
+    ap.add_argument("--plot", nargs="?", const="overlap_pr.png",
+                    default=None, metavar="PNG",
+                    help="with --sweep: render precision/recall vs error "
+                         "bars (per-rate dumpfiles cache the sweep: pass "
+                         "--dumpfile PREFIX to skip recompute)")
     args = ap.parse_args()
     if args.sweep:
         import time
+        rows = []
         for err in (0.10, 0.12, 0.15):
             t0 = time.time()
+            dump = ("%s.err%d.pkl" % (args.dumpfile, int(err * 100))
+                    if args.dumpfile else None)
             row = run(
                 genome_len=100_000, read_len=3000, n_reads=args.n_reads,
                 err=err, engine="sorted", min_window=args.min_window,
-                seed=int(err * 1000),
+                seed=int(err * 1000), dumpfile=dump,
             )
             row["elapsed_s"] = round(time.time() - t0, 1)
             row["min_window"] = args.min_window
+            rows.append(row)
             print(json.dumps(row))
+        if args.plot:
+            from figures import plot_overlap_pr
+
+            plot_overlap_pr(rows, args.plot)
         return
     kw = {}
     if args.quick:

@@ -160,6 +160,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dumpfile", default=None)
+    ap.add_argument("--plot", nargs="?", const="wordblot_recall.png",
+                    default=None, metavar="PNG",
+                    help="render recall/precision/MAE vs p_min (from the "
+                         "cached dumpfile when present — no recompute)")
     args = ap.parse_args()
     kw = {}
     if args.quick:
@@ -168,6 +172,10 @@ def main():
     rows = run_sweep(dumpfile=args.dumpfile, **kw)
     for r in rows:
         print(json.dumps(r))
+    if args.plot:
+        from figures import plot_wordblot_recall
+
+        plot_wordblot_recall(rows, args.plot)
 
 
 if __name__ == "__main__":
