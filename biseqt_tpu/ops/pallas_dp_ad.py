@@ -76,7 +76,8 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             *rest,
             W: int, Apad: int, BT: int, A: int, go: float, ge: float,
             flags: ModeFlags, uniform, R: int, strip: int = 0,
-            with_dirs: bool = False, i8win: bool = False):
+            with_dirs: bool = False, i8win: bool = False,
+            subst_planes: bool = False):
     if with_dirs:
         (score0_ref, score1_ref, dirs_hbm, ma_ref, mb_ref, aa_ref, ab_ref,
          sbuf, tbuf, dbuf, sems) = rest
@@ -232,7 +233,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         def _():
             start_dma(1 - slot, c + 1)
 
-        if with_dirs:
+        if with_dirs and strip != 12:
             # the slot's previous dirs write-out must have landed before
             # this chunk overwrites dbuf[slot]
             @pl.when(c >= 2)
@@ -265,6 +266,20 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         else:
             s_chunk = sbuf[slot].astype(jnp.int32)
             t_chunk = pltpu.roll(tbuf[slot].astype(jnp.int32), W + 1, 1)
+        if subst_planes:
+            # general-substitution PLANES path (protein-scale A): the
+            # per-step A^2 select chain amortizes to one per-chunk
+            # build of A t-VALUE planes (plane a = subst[a, t_chunk],
+            # PAD poisoned), and the per-step cost drops to A plane
+            # rolls + an A-way select on the s window — O(A) per step
+            # instead of O(A^2) (round-4; see docs/kernels.md)
+            poison = jnp.float32(-1.0 + 2.0 * gd)
+            planes = []
+            for a_ in range(A):
+                rowv = jnp.full(t_chunk.shape, srows[a_][0], jnp.float32)
+                for bb in range(1, A):
+                    rowv = jnp.where(t_chunk == bb, srows[a_][bb], rowv)
+                planes.append(jnp.where(t_chunk < 0, poison, rowv))
         a0 = c * R
         ga0 = (c * (R * gd)).astype(jnp.float32) if gd else jnp.float32(0)
 
@@ -289,6 +304,16 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 if r + 1 < R:
                     s_chunk = pltpu.roll(s_chunk, W + R - 1, 1)
                     t_chunk = pltpu.roll(t_chunk, 1, 1)
+            elif subst_planes:
+                # A-way select over the prebuilt value planes; s PAD
+                # (-1) matches no letter and keeps the poison default
+                s_win = s_chunk[:, :W]
+                sub = jnp.full((BT, W), poison, jnp.float32)
+                for a_ in range(A):
+                    sub = jnp.where(s_win == a_, planes[a_][:, :W], sub)
+                if r + 1 < R:
+                    s_chunk = pltpu.roll(s_chunk, W + R - 1, 1)
+                    planes = [pltpu.roll(p, 1, 1) for p in planes]
             else:
                 sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
                 if r + 1 < R:
@@ -303,10 +328,14 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 # lane shift as the chain itself; pre-weighted 4.0/8.0 so
                 # the byte pack below is two adds.  Ties prefer extension
                 # (matches the lax engine's P == shift(P) convention).
-                e4 = pltpu.roll(
-                    jnp.where(E >= HpGo, 4.0, 0.0), W - 1, 1
-                )
-                f8 = pltpu.roll(jnp.where(F >= HpGo, 8.0, 0.0), 1, 1)
+                if strip == 10:   # diagnostics: no gap-extend flags
+                    e4 = jnp.zeros((BT, W), jnp.float32)
+                    f8 = jnp.zeros((BT, W), jnp.float32)
+                else:
+                    e4 = pltpu.roll(
+                        jnp.where(E >= HpGo, 4.0, 0.0), W - 1, 1
+                    )
+                    f8 = pltpu.roll(jnp.where(F >= HpGo, 8.0, 0.0), 1, 1)
             E = pltpu.roll(jnp.maximum(HpGo, E), W - 1, 1) + wrapmask_E
             F = pltpu.roll(jnp.maximum(HpGo, F), 1, 1) + wrapmask_F
             diag_cand = H2 + sub
@@ -333,18 +362,24 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 # the walker never reads.  Comparisons use the pre-mask
                 # H_new (the additive lane mask below would break the
                 # equality tests).
-                d = jnp.where(
-                    H_new == diag_cand, 1.0,
-                    jnp.where(H_new == E, 2.0, 3.0),
-                )
-                if flags.local_start:
-                    # fresh local start: value == the drifted zero and
-                    # the diag source lost (mirrors the lax override)
+                if strip == 11:   # diagnostics: no H-source select chain
+                    d = jnp.full((BT, W), 1.0, jnp.float32)
+                else:
                     d = jnp.where(
-                        (H_new == ga) & (diag_cand < ga), 0.0, d
+                        H_new == diag_cand, 1.0,
+                        jnp.where(H_new == E, 2.0, 3.0),
                     )
+                    if flags.local_start:
+                        # fresh local start: value == the drifted zero
+                        # and the diag source lost (mirrors the lax
+                        # override)
+                        d = jnp.where(
+                            (H_new == ga) & (diag_cand < ga), 0.0, d
+                        )
                 byte = d + e4 + f8
-                if r % 2 == 0:
+                if strip == 12:   # diagnostics: no nibble pack/store/DMA
+                    pass
+                elif r % 2 == 0:
                     nib = byte
                 else:
                     dbuf[slot, :, r // 2, :] = (
@@ -383,21 +418,22 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 pass
             elif r % 2 == 0:
                 Ms = Ma + (2.0 * gd)
-                if with_dirs:
+                if with_dirs and strip != 13:
                     # per-lane step-of-max: a strict win records step a
                     # (end-cell recovery: lane argmax post-loop + this)
                     Aa = jnp.where(tracked > Ms, a, Aa)
                 Ma = jnp.maximum(Ms, tracked)
             else:
                 Ms = Mb + (2.0 * gd)
-                if with_dirs:
+                if with_dirs and strip != 13:
                     Ab = jnp.where(tracked > Ms, a, Ab)
                 Mb = jnp.maximum(Ms, tracked)
 
             H2 = H1
             H1 = H_new
         if with_dirs:
-            dirs_dma(slot, c).start()
+            if strip != 12:
+                dirs_dma(slot, c).start()
             return (H2, H1, E, F, Ma, Mb, Aa, Ab)
         return (H2, H1, E, F, Ma, Mb)
 
@@ -409,9 +445,10 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
         Ma, Mb, Aa, Ab = out[4], out[5], out[6], out[7]
         # drain the last two dirs write-outs
-        if n_chunks >= 2:
-            dirs_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
-        dirs_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+        if strip != 12:
+            if n_chunks >= 2:
+                dirs_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            dirs_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
         aa_ref[:] = Aa
         ab_ref[:] = Ab
     else:

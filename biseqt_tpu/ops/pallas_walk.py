@@ -62,24 +62,46 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
             dirs_hbm,
             fi0_ref, fi1_ref, fj0_ref, fj1_ref, tr0_hbm, tr1_hbm,
             dbuf, obuf, sems, osems,
-            *, W: int, Rp: int, BT: int, RC: int):
+            *, W: int, Rp: int, BT: int, RC: int, G: int = 1,
+            strip: int = 0):
     b = pl.program_id(0)
     row0 = b * BT
+    GB = BT // G               # plane rows per interleave group
     n_chunks = Rp // RC
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (GB, W), 1)
     # op codes are 2 bits — pack 4 antidiagonal steps per trace byte
     # (the trace D2H is the transcript path's remaining transfer).
     # Mosaic requires 128-aligned trailing slices, so the packed bytes
-    # accumulate in a [BT, 128] register value carried across a GROUP
+    # accumulate in a [GB, 128] register value carried across a GROUP
     # of 4 chunks (4 * 2*RC steps = 128 bytes) and flush once per group
     # with a synchronous ~8 KB DMA at the group's low chunk.
-    steps_q = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+    steps_q = jax.lax.broadcasted_iota(jnp.int32, (GB, 128), 1)
     assert 256 % RC == 0 and RC % 2 == 0, (
         "RC must be an even divisor of 256 (the caller clamps r_rows "
         "to a power of two <= 256); got %r" % (RC,))
     GPC = 256 // RC            # chunks per 128-byte trace group
 
-    dq0, dq1 = dq0_ref[:, :1], dq1_ref[:, :1]
+    def gsl(ref, g):
+        return ref[g * GB:(g + 1) * GB, :1]
+
+    # per-pair walker state is PARITY-PACKED [GB, 2] (lane p = parity
+    # slot p): the scalar update logic is identical for both slots, so
+    # one vector op serves both — the census showed per-op overhead
+    # (not vreg volume) dominating the [GB, 1] scalar ops, and packing
+    # halves the op count (round-4 redesign)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (GB, 2), 1)
+
+    def pack2(c0, c1):
+        return jnp.where(iota2 == 0, c0, c1)
+
+    def col0(v):
+        return v[:, :1]
+
+    def col1(v):
+        # lane 1 without an unaligned slice: both lanes sum minus lane 0
+        return jnp.sum(v, axis=1, keepdims=True) - v[:, :1]
+
+    dq = [pack2(gsl(dq0_ref, g), gsl(dq1_ref, g)) for g in range(G)]
 
     def start_dma(slot, c):
         base = pl.multiple_of(c * RC, RC)
@@ -106,17 +128,45 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
 
     start_dma(0, n_chunks - 1)
 
-    def step_walk(nib_row, a, i, j, st, dn, dq):
-        """One fused walker action for all BT walks of one parity slot.
+    def extract2(nib_row, x0, x1):
+        """Both parity slots' bytes from one plane row in ONE lane
+        reduction.
 
-        All inputs [BT, 1] i32 except nib_row [BT, W] i32.  Returns the
-        op column and the updated cursor state.
+        ACTIVE cursors sit on complementary lane parities, so their
+        one-hot masks never collide: weight slot 1's nibble by 16 and
+        SUM-reduce — the result packs (byte0 + 16 * byte1) exactly.
+        One 7-stage lane reduction instead of two (the extraction was
+        ~60% of the walk's runtime — round-4 census).  Callers MUST
+        pass inactive cursors as an impossible lane (e.g. -1): an
+        inactive slot's stale cursor has arbitrary parity and a lane
+        collision would corrupt the ACTIVE slot's sum (the old
+        per-parity max-extract tolerated stale cursors; this one does
+        not).
         """
-        active = (dn == 0) & (i + j == a)
-        x = i - j - dq
-        onehot = lanes == x
-        byte = jnp.max(jnp.where(onehot, nib_row, 0), axis=1,
-                       keepdims=True)
+        payload = (
+            jnp.where(lanes == x0, nib_row, 0)
+            + jnp.where(lanes == x1, nib_row * 16, 0)
+        )
+        # lane reduction stays on the VPU: an MXU dot (payload @ ones)
+        # measured 85.6 ms vs 77.8 — each step's byte feeds the very
+        # next scalar update, so the matmul's latency lands on the
+        # serial chain instead of pipelining (round-4 measurement)
+        both = jnp.sum(payload, axis=1, keepdims=True)
+        b0 = both & 15
+        # >> 4 without a vector shift: exact for values < 2^20 via f32
+        b1 = ((both - b0).astype(jnp.float32)
+              * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
+        return b0, b1
+
+    def step_walk(byte, active, i, j, st, dn):
+        """One fused walker action for one interleave group's walks,
+        BOTH parity slots at once.
+
+        All inputs [GB, 2] i32 (``active`` bool), lane p = parity p.
+        Returns the op columns and the updated cursor state.
+        """
+        if strip == 23:   # diagnostics: no scalar walker-state logic
+            return byte & 3, i, j, st, dn
         src = byte & 3
         e_ext = (byte & 4) != 0
         f_ext = (byte & 8) != 0
@@ -144,10 +194,12 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         dn2 = jnp.where(active & stop, 1, dn)
         return op, i2, j2, st2, dn2
 
+    # carry layout: G repetitions of (I, J, ST, DN, acc0, acc1); the
+    # cursor state is parity-packed [GB, 2], accs are [GB, 128].
     def chunk_body(cc, carry):
         c = n_chunks - 1 - cc
         slot = cc % 2
-        i0, j0, st0, dn0, i1, j1, st1, dn1, acc0, acc1 = carry
+        gs = [list(carry[6 * g:6 * g + 6]) for g in range(G)]
 
         @pl.when(cc + 1 < n_chunks)
         def _():
@@ -165,62 +217,79 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         lane0 = (c % GPC) * (RC // 2)
         for rr in reversed(range(2 * RC)):
             r, q = rr // 2, rr % 2
-            nib_row = (hi if q else lo)[:, r, :]
             a = c * (2 * RC) + rr
-            # parity slot p owns lanes with (a + x) % 2 == p; both
-            # slots act at every a, on complementary lanes
-            op0, i0, j0, st0, dn0 = step_walk(nib_row, a, i0, j0, st0,
-                                              dn0, dq0)
-            op1, i1, j1, st1, dn1 = step_walk(nib_row, a, i1, j1, st1,
-                                              dn1, dq1)
             sel = steps_q == lane0 + rr // 4
             w = 1 << (2 * (rr % 4))   # 2-bit field (rr % 4) of the byte
-            acc0 = jnp.where(sel, acc0 + op0 * w, acc0)
-            acc1 = jnp.where(sel, acc1 + op1 * w, acc1)
+            for g in range(G):
+                nib_row = (hi if q else lo)[g * GB:(g + 1) * GB, r, :]
+                I, J, ST, DN, acc0, acc1 = gs[g]
+                # parity slot p owns lanes with (a + x) % 2 == p; both
+                # slots act at every a, on complementary lanes — one
+                # fused extraction serves both (inactive cursors
+                # masked to -1)
+                act = (DN == 0) & (I + J == a)
+                Xm = jnp.where(act, I - J - dq[g], -1)
+                if strip == 22:   # diagnostics: no byte extraction
+                    BY = jnp.full((GB, 2), 1, jnp.int32)
+                else:
+                    byte0, byte1 = extract2(nib_row, col0(Xm), col1(Xm))
+                    BY = pack2(byte0, byte1)
+                OP, I, J, ST, DN = step_walk(BY, act, I, J, ST, DN)
+                if strip != 20:   # 20 = no trace accumulation
+                    op0 = col0(OP)
+                    op1 = (op0 if strip == 21   # 21 = single parity
+                           else col1(OP))
+                    acc0 = jnp.where(sel, acc0 + op0 * w, acc0)
+                    acc1 = jnp.where(sel, acc1 + op1 * w, acc1)
+                gs[g] = [I, J, ST, DN, acc0, acc1]
 
         # flush at the group's LOW chunk (processing order is
         # descending, so c % GPC == 0 closes its group); ~8 KB,
         # synchronous — negligible once per GPC chunks
         @pl.when(c % GPC == 0)
         def _():
-            obuf[0] = acc0.astype(jnp.uint8)
-            obuf[1] = acc1.astype(jnp.uint8)
+            for g in range(G):
+                obuf[0, g * GB:(g + 1) * GB] = gs[g][4].astype(jnp.uint8)
+                obuf[1, g * GB:(g + 1) * GB] = gs[g][5].astype(jnp.uint8)
             out_dma(c // GPC, 0).start()
             out_dma(c // GPC, 1).start()
             out_dma(c // GPC, 0).wait()
             out_dma(c // GPC, 1).wait()
 
         flushed = (c % GPC) == 0
-        zero = jnp.zeros((BT, 128), jnp.int32)
-        acc0 = jnp.where(flushed, zero, acc0)
-        acc1 = jnp.where(flushed, zero, acc1)
-        return (i0, j0, st0, dn0, i1, j1, st1, dn1, acc0, acc1)
+        zero = jnp.zeros((GB, 128), jnp.int32)
+        for g in range(G):
+            gs[g][4] = jnp.where(flushed, zero, gs[g][4])
+            gs[g][5] = jnp.where(flushed, zero, gs[g][5])
+        return tuple(x for g in range(G) for x in gs[g])
 
-    def col(ref):
-        return ref[:, :1]
-
-    zacc = jnp.zeros((BT, 128), jnp.int32)
-    init = (col(ei0_ref), col(ej0_ref),
-            jnp.zeros((BT, 1), jnp.int32),
-            jnp.where(col(ei0_ref) < 0, 1, 0),
-            col(ei1_ref), col(ej1_ref),
-            jnp.zeros((BT, 1), jnp.int32),
-            jnp.where(col(ei1_ref) < 0, 1, 0),
+    zacc = jnp.zeros((GB, 128), jnp.int32)
+    init = tuple(
+        x for g in range(G) for x in (
+            pack2(gsl(ei0_ref, g), gsl(ei1_ref, g)),
+            pack2(gsl(ej0_ref, g), gsl(ej1_ref, g)),
+            jnp.zeros((GB, 2), jnp.int32),
+            jnp.where(
+                pack2(gsl(ei0_ref, g), gsl(ei1_ref, g)) < 0, 1, 0),
             zacc, zacc)
+    )
     fin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-    fi0_ref[:] = fin[0]
-    fj0_ref[:] = fin[1]
-    fi1_ref[:] = fin[4]
-    fj1_ref[:] = fin[5]
+    for g in range(G):
+        fi0_ref[g * GB:(g + 1) * GB, :] = col0(fin[6 * g + 0])
+        fj0_ref[g * GB:(g + 1) * GB, :] = col0(fin[6 * g + 1])
+        fi1_ref[g * GB:(g + 1) * GB, :] = col1(fin[6 * g + 0])
+        fj1_ref[g * GB:(g + 1) * GB, :] = col1(fin[6 * g + 1])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "block_b", "r_rows", "interpret"),
+    static_argnames=("W", "block_b", "r_rows", "interpret", "groups",
+                     "_strip"),
 )
 def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
                     block_b: int = 64, r_rows: int = _RC,
-                    interpret: bool = False):
+                    interpret: bool = False, groups: int = 2,
+                    _strip: int = 0):
     """Walk all pairs' tracebacks on device over the packed dirs plane.
 
     Args: ``dirs`` [B2, Rp, W] uint8 (the AD kernel's nibble-packed
@@ -251,7 +320,13 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     # trace bytes per plane row (4 steps/byte), padded to whole
     # 128-byte flush groups
     TRb = _round_up(Rpp // 2, 128)
-    BT = block_b
+    # G interleave groups of block_b rows run per program: the walk is
+    # latency-bound on each step's extract->update chain (round-4
+    # census: 78 ms measured vs ~23 ms issue estimate), and independent
+    # groups give the scheduler chains to overlap.  Small batches skip
+    # the interleave rather than padding up to G * block_b rows.
+    G = int(groups) if B2 > block_b else 1
+    BT = block_b * G
     Bp2 = _round_up(B2, BT)
     if Bp2 != B2:
         dirs = jnp.pad(dirs, ((0, Bp2 - B2), (0, 0), (0, 0)))
@@ -267,7 +342,8 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
 
     vspec = lambda: pl.BlockSpec((BT, 1), lambda b: (b, 0),
                                  memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, W=W, Rp=Rpp, BT=BT, RC=RC)
+    kernel = functools.partial(_kernel, W=W, Rp=Rpp, BT=BT, RC=RC,
+                               G=G, strip=int(_strip))
     out = pl.pallas_call(
         kernel,
         grid=(Bp2 // BT,),
@@ -299,3 +375,55 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     fi = jnp.stack([out[0][:, 0], out[1][:, 0]], axis=1).reshape(-1)[:B]
     fj = jnp.stack([out[2][:, 0], out[3][:, 0]], axis=1).reshape(-1)[:B]
     return out[4][:B2], out[5][:B2], fi, fj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "block_b", "r_rows", "interpret", "groups"),
+)
+def traceback_sweep_fused(dirs, dminq, end_i, end_j, *, W: int,
+                          block_b: int = 64, r_rows: int = _RC,
+                          interpret: bool = False, groups: int = 2):
+    """:func:`traceback_sweep` with all four outputs FUSED into one
+    uint8 array, so the host materializes the whole walk result in ONE
+    device-to-host transfer.
+
+    This environment's tunnel charges a ~22-32 ms fixed floor PER
+    transfer on top of ~60 MB/s streaming (measured round 4), so the
+    separate tr0/tr1/fi/fj materializations cost three extra floors per
+    batch — more than the 16 bytes of cursor payload by 4 orders of
+    magnitude.  Returns uint8 ``[B2, 2 * TRb + 16]``: trace0 | trace1 |
+    (fi0, fi1, fj0, fj1) int32 little-endian per plane row.  Split with
+    :func:`split_sweep_fused`.
+    """
+    tr0, tr1, fi, fj = traceback_sweep(
+        dirs, dminq, end_i, end_j, W=W, block_b=block_b, r_rows=r_rows,
+        interpret=interpret, groups=groups,
+    )
+    B2 = tr0.shape[0]
+    B = fi.shape[0]
+    # pad fi/fj to 2*B2 then de-interleave into per-plane-row columns
+    fi_p = jnp.full((2 * B2,), -1, jnp.int32).at[:B].set(fi)
+    fj_p = jnp.full((2 * B2,), -1, jnp.int32).at[:B].set(fj)
+    cur = jnp.stack([fi_p[0::2], fi_p[1::2], fj_p[0::2], fj_p[1::2]],
+                    axis=1)                          # [B2, 4] int32
+    cur_u8 = jax.lax.bitcast_convert_type(
+        cur, jnp.uint8).reshape(B2, 16)
+    return jnp.concatenate([tr0, tr1, cur_u8], axis=1)
+
+
+def split_sweep_fused(fused: np.ndarray, B: int):
+    """Host-side inverse of :func:`traceback_sweep_fused`: returns
+    ``(trace0, trace1, fin_i, fin_j)`` numpy views/copies for ``B``
+    real pairs."""
+    fused = np.asarray(fused)
+    B2, total = fused.shape
+    TRb = (total - 16) // 2
+    tr0 = fused[:, :TRb]
+    tr1 = fused[:, TRb:2 * TRb]
+    cur = fused[:, 2 * TRb:].copy().view(np.int32).reshape(B2, 4)
+    fi = np.empty((2 * B2,), np.int32)
+    fj = np.empty((2 * B2,), np.int32)
+    fi[0::2], fi[1::2] = cur[:, 0], cur[:, 1]
+    fj[0::2], fj[1::2] = cur[:, 2], cur[:, 3]
+    return tr0, tr1, fi[:B], fj[:B]

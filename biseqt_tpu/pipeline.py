@@ -193,11 +193,17 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             from .ops.pallas_dp_ad import parity_adjusted_dmin
 
             if rec["walk"] is not None:
-                tr0, tr1, fi, fj = rec["walk"]
+                from .ops.pallas_walk import split_sweep_fused
+
+                # ONE D2H for the whole walk result (traces + cursors):
+                # this environment's tunnel charges a fixed ~22 ms floor
+                # per transfer, so the four separate materializations
+                # cost three extra floors per launch
+                tr0, tr1, fi, fj = split_sweep_fused(
+                    np.asarray(rec["walk"]), n
+                )
                 g_ops, g_si, g_sj = native.compact_sweep_ops(
-                    np.asarray(tr0), np.asarray(tr1),
-                    np.asarray(fi)[:n], np.asarray(fj)[:n],
-                    s_codes[:n], t_codes[:n], flags,
+                    tr0, tr1, fi, fj, s_codes[:n], t_codes[:n], flags,
                 )
             else:
                 dminq = parity_adjusted_dmin(
@@ -294,13 +300,13 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             # (-1 ends) on device.  Dispatched HERE so the walk of this
             # launch overlaps the next launches' kernels.
             from .ops.pallas_dp_ad import parity_adjusted_dmin
-            from .ops.pallas_walk import traceback_sweep
+            from .ops.pallas_walk import traceback_sweep_fused
 
             dminq_p = parity_adjusted_dmin(
                 dmin, np.arange(n_pad, dtype=np.int32) % 2
             )
             real = jnp.arange(n_pad, dtype=jnp.int32) < n
-            walk = traceback_sweep(
+            walk = traceback_sweep_fused(
                 res.dirs, jnp.asarray(dminq_p),
                 jnp.where(real, res.end_i.astype(jnp.int32), -1),
                 jnp.where(real, res.end_j.astype(jnp.int32), -1),

@@ -147,3 +147,43 @@ def test_device_walk_skewed_lengths(rng):
     assert got_ops[0] == ref_ops[0]
     assert (got_si[0], got_sj[0]) == (ref_si[0], ref_sj[0])
     assert got_ops[0].count("M") > 90
+
+
+def test_device_walk_interleave_groups_match(rng):
+    """groups=2 (the latency-hiding interleave) must be byte-identical
+    to groups=1 — same traces, same cursors — on a batch big enough to
+    engage the grouped path (B2 > block_b)."""
+    B, L = 34, 96
+    ss = rng.integers(0, 4, (B, L)).astype(np.int8)
+    ts = ss.copy()
+    m = rng.random((B, L)) < 0.2
+    ts[m] = (ts[m] + 1 + rng.integers(0, 3, m.sum())) % 4
+    s_lens = np.full((B,), L, np.int32)
+    s_lens[3] = 70
+    t_lens = np.full((B,), L, np.int32)
+    t_lens[5] = 80
+    dmin = np.full((B,), -40, np.int32)
+    w_eff = jnp.full((B,), 100, jnp.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    flags = ModeFlags(local_start=True, local_end=True)
+    res = banded_dp_pallas_ad(
+        jnp.asarray(ss), jnp.asarray(ts), jnp.asarray(s_lens),
+        jnp.asarray(t_lens), jnp.asarray(dmin), W=128, subst=subst,
+        go=-2.0, ge=-1.0, flags=flags, w_eff=w_eff, interpret=True,
+        block_b=8, r_chunk=16, with_dirs=True)
+    dminq = parity_adjusted_dmin(dmin, np.arange(B, dtype=np.int32) % 2)
+    ei = np.asarray(res.end_i).astype(np.int32)
+    ej = np.asarray(res.end_j).astype(np.int32)
+    ei[7] = -1   # one skipped pair
+    ej[7] = -1
+    outs = [
+        traceback_sweep(
+            jnp.asarray(res.dirs), jnp.asarray(dminq), jnp.asarray(ei),
+            jnp.asarray(ej), W=128, block_b=8, r_rows=8, interpret=True,
+            groups=g)
+        for g in (1, 2)
+    ]
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]),
+            err_msg="output %d differs between groups=1 and groups=2" % k)
