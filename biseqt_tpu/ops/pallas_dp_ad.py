@@ -502,7 +502,7 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         w_eff=None, A: int = 4, block_b: int = 128,
                         interpret: bool = False, r_chunk: int = _R,
                         with_dirs: bool = False, _strip: int = 0,
-                        _i8win: bool = False):
+                        _i8win: bool = False, _subst_planes: bool = None):
     """Antidiagonal dual-pair banded DP.
 
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp`.  By
@@ -534,26 +534,38 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         # never accumulate score)
         if uniform[1] >= 0:
             uniform = None
+    if _subst_planes is None:
+        # measured crossover (round 4, docs/kernels.md): the A^2 select
+        # chain wins up to mid-size alphabets (A=4: 45.8, A=8: 22.7 vs
+        # planes 15.8 GCUPS); the O(A)-per-step value-plane path wins at
+        # protein scale (A=20: planes 8.4 vs chain 6.2) — fitted
+        # crossover ~A=14
+        subst_planes = uniform is None and A >= 14
+    else:
+        subst_planes = bool(_subst_planes) and uniform is None
     return _banded_dp_pallas_ad_jit(
         s_codes, t_codes, s_lens, t_lens, dmin,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
         uniform=uniform, r_chunk=int(r_chunk), strip=int(_strip),
         with_dirs=bool(with_dirs), i8win=bool(_i8win),
+        subst_planes=subst_planes,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
-                     "uniform", "r_chunk", "strip", "with_dirs", "i8win"),
+                     "uniform", "r_chunk", "strip", "with_dirs", "i8win",
+                     "subst_planes"),
 )
 def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              w_eff, *, W: int, go: float, ge: float,
                              flags: ModeFlags, A: int, block_b: int,
                              interpret: bool, uniform, r_chunk: int = _R,
                              strip: int = 0, with_dirs: bool = False,
-                             i8win: bool = False):
+                             i8win: bool = False,
+                             subst_planes: bool = False):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     if w_eff is None:
@@ -637,7 +649,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     kernel = functools.partial(
         _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
         flags=flags, uniform=uniform, R=r_chunk, strip=strip,
-        with_dirs=with_dirs, i8win=i8win,
+        with_dirs=with_dirs, i8win=i8win, subst_planes=subst_planes,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM

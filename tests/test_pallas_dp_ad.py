@@ -284,3 +284,39 @@ def test_aligner_pallas_routes_to_ad_kernel(rng):
         ) == pytest.approx(s_lax, abs=1e-3), alntype
         assert (aln_p.origin_start, aln_p.mutate_start) == (
             aln_lax.origin_start, aln_lax.mutate_start), alntype
+
+
+@pytest.mark.slow
+def test_ad_kernel_protein_planes_matches_lax(rng):
+    """A=20 (protein-scale) general substitution through the round-4
+    value-planes path: scores must match the lax oracle AND the legacy
+    per-step select chain exactly."""
+    A = 20
+    B, L = 4, 120
+    ss = rng.integers(0, A, (B, L)).astype(np.int8)
+    ts = ss.copy()
+    m = rng.random((B, L)) < 0.2
+    ts[m] = (ts[m] + 1 + rng.integers(0, A - 1, m.sum())) % A
+    s_lens = np.array([120, 110, 120, 100], np.int32)
+    t_lens = np.array([118, 120, 105, 120], np.int32)
+    dmin = np.array([-40, -39, -20, -64], np.int32)
+    w_eff = jnp.asarray([100, 127, 64, 120], jnp.int32)
+    subst = rng.uniform(-3.0, -0.2, (A, A)).astype(np.float32)
+    np.fill_diagonal(subst, rng.uniform(0.5, 2.0, A).astype(np.float32))
+    args = [jnp.asarray(x) for x in (ss, ts, s_lens, t_lens, dmin)]
+    for flags in (ModeFlags(local_start=True, local_end=True),
+                  ModeFlags()):
+        kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                  w_eff=w_eff, A=A)
+        ref = np.asarray(banded_dp(*args, **{k: v for k, v in kw.items()
+                                             if k != "A"}).score)
+        planes = np.asarray(banded_dp_pallas_ad(
+            *args, interpret=True, block_b=8, r_chunk=16,
+            _subst_planes=True, **kw).score)
+        chain = np.asarray(banded_dp_pallas_ad(
+            *args, interpret=True, block_b=8, r_chunk=16,
+            _subst_planes=False, **kw).score)
+        np.testing.assert_allclose(planes, ref, atol=1e-2,
+                                   err_msg=str(flags))
+        np.testing.assert_allclose(chain, ref, atol=1e-2,
+                                   err_msg=str(flags))
