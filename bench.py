@@ -81,6 +81,9 @@ def main():
     from biseqt_tpu import native
     from biseqt_tpu.ops.pallas_dp_ad import parity_adjusted_dmin
 
+    # Bd=4096 measured device-side 9.85 vs 9.38 GCUPS but doubles the
+    # e2e leg's absolute D2H exposure (the tunnel swings 18-60 MB/s run
+    # to run) — 2048 is the robustness sweet spot
     Bd = 2048
     w_eff_d = jnp.full((Bd,), BW, jnp.int32)
 
