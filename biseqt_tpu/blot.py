@@ -68,29 +68,40 @@ def _component_stats(ns, areas, seglens, *, wordlen: int,
     return p, s0, s1
 
 
-def _score_components(cand, wordlen: int, alphabet_len: int):
-    """(p-hat, s0, s1) numpy arrays for candidate boxes
-    [(d_lo, d_hi, a_lo, a_hi, n, seglen)] in ONE bucketed jit dispatch.
+def _batched_stats(ns, areas, seglens, wordlen: int, alphabet_len: int):
+    """(p-hat, s0, s1) numpy arrays for raw per-component (n, area,
+    seglen) columns in ONE shape-bucketed jit dispatch.
 
     Per-component scalar jnp calls each pay this environment's ~32 ms
     dispatch floor (a 2 x 100 kbp p_min=0.5 discovery spent 10+ minutes
     there), and eager chains recompile per input length — so the count
-    is shape-bucketed (inert padding rows: n 0, seglen 1) and the whole
-    chain runs as one jitted call."""
+    is shape-bucketed (inert padding rows: n 0, area 1, seglen 1) and
+    the whole chain runs as one jitted call.  Shared by the pairwise
+    (:func:`_score_components`) and N-way paths so the padding/inert-row
+    convention lives in exactly one place."""
     from .seeds import _shape_bucket
 
-    arr = np.asarray(cand, np.float64)
-    pad = _shape_bucket(len(cand), mini=64)
-    arr = np.pad(arr, ((0, pad - len(cand)), (0, 0)))
-    arr[len(cand):, 5] = 1.0
-    ns = jnp.asarray(arr[:, 4], jnp.float32)
-    seglens = jnp.asarray(arr[:, 5], jnp.float32)
-    areas = jnp.asarray((arr[:, 1] - arr[:, 0] + 1) * arr[:, 5],
-                        jnp.float32)
-    p, s0, s1 = _component_stats(ns, areas, seglens, wordlen=wordlen,
+    m = len(ns)
+    pad = _shape_bucket(m, mini=64)
+    ns_p = np.zeros(pad, np.float32)
+    ns_p[:m] = ns
+    seg_p = np.ones(pad, np.float32)
+    seg_p[:m] = seglens
+    ar_p = np.ones(pad, np.float32)
+    ar_p[:m] = areas
+    p, s0, s1 = _component_stats(jnp.asarray(ns_p), jnp.asarray(ar_p),
+                                 jnp.asarray(seg_p), wordlen=wordlen,
                                  alphabet_len=alphabet_len)
-    n = len(cand)
-    return np.asarray(p)[:n], np.asarray(s0)[:n], np.asarray(s1)[:n]
+    return np.asarray(p)[:m], np.asarray(s0)[:m], np.asarray(s1)[:m]
+
+
+def _score_components(cand, wordlen: int, alphabet_len: int):
+    """(p-hat, s0, s1) numpy arrays for candidate boxes
+    [(d_lo, d_hi, a_lo, a_hi, n, seglen)] in ONE bucketed jit dispatch
+    (see :func:`_batched_stats`)."""
+    arr = np.asarray(cand, np.float64)
+    return _batched_stats(arr[:, 4], (arr[:, 1] - arr[:, 0] + 1) * arr[:, 5],
+                          arr[:, 5], wordlen, alphabet_len)
 
 
 def band_radius(K, gap_prob, sensitivity=0.99):
@@ -859,20 +870,12 @@ class WordBlotMultiple:
         if not pend:
             return
         w_eff = self.wordlen * (len(self.seqs) - 1)
-        from .seeds import _shape_bucket
-
-        m = len(pend)
-        pad = _shape_bucket(m, mini=64)
-        ns = np.zeros(pad, np.float32)
-        seglens = np.ones(pad, np.float32)
-        areas = np.ones(pad, np.float32)
-        for k, (_, _, _, n, seglen, area) in enumerate(pend):
-            ns[k], seglens[k], areas[k] = n, seglen, area
-        p_hats, s0s, s1s = _component_stats(
-            jnp.asarray(ns), jnp.asarray(areas), jnp.asarray(seglens),
-            wordlen=w_eff, alphabet_len=len(self.seqs[0].alphabet))
-        p_hats, s0s, s1s = (np.asarray(p_hats), np.asarray(s0s),
-                            np.asarray(s1s))
+        cols = np.asarray([(n, area, seglen)
+                           for (_, _, _, n, seglen, area) in pend],
+                          np.float64)
+        p_hats, s0s, s1s = _batched_stats(
+            cols[:, 0], cols[:, 1], cols[:, 2], wordlen=w_eff,
+            alphabet_len=len(self.seqs[0].alphabet))
         for k, (d_bands, a_lo, a_hi, n, seglen, _) in enumerate(pend):
             if p_hats[k] < p_min - P_MIN_EPS:
                 continue

@@ -38,13 +38,29 @@ def _build():
     )
 
 
+def _stale():
+    """The shipped .so predates the current pwnative.cpp (or is absent)."""
+    try:
+        so_m = os.path.getmtime(_SO)
+    except OSError:
+        return True
+    try:
+        src_m = os.path.getmtime(os.path.join(_HERE, "pwnative.cpp"))
+    except OSError:
+        return False  # source not shipped: trust the prebuilt .so
+    return src_m > so_m
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    # always run make: it is a no-op when the .so is fresh, and loading
-    # a stale .so after an ABI change in pwnative.cpp corrupts memory
-    _build()
+    # rebuild only when pwnative.cpp is newer than the .so: loading a
+    # stale .so after an ABI change corrupts memory, but a deployment
+    # with a prebuilt .so and no toolchain must keep its native tier
+    # (an unconditional make would FileNotFoundError it away)
+    if _stale():
+        _build()
     lib = ctypes.CDLL(_SO)
     lib.bst_align.restype = ctypes.c_int
     lib.bst_align.argtypes = [

@@ -445,101 +445,158 @@ int bst_compact_sweep_batch(
 // FASTA streaming packer
 // ---------------------------------------------------------------------
 
-// Pass 1: count records and total packed length (letters present in the
-// 256-entry code map with value >= 0).  Whitespace inside sequence data
-// is skipped; any OTHER unmapped byte is counted in n_unknown and the
-// first one is reported (byte value in *first_unknown, its file offset
-// in *unknown_pos) so the binding can raise instead of silently
-// dropping letters — a dropped base SHIFTS every downstream coordinate
-// of the record.
-static inline bool fasta_ws(int c) {
-    return c == '\n' || c == '\r' || c == ' ' || c == '\t';
+// One shared streaming state machine used by BOTH passes (count and
+// pack), so record/letter accounting can never diverge between them.
+//
+// Semantics are PARITY with the Python reader (database.read_fasta,
+// which strips each line then tests startswith('>')):
+//   * a '>' begins a header only when every byte since the last
+//     newline was whitespace ('>' inside a description or a sequence
+//     line is NOT a record start — mid-line '>' in sequence data is an
+//     unmapped byte and raises upstream, exactly like Alphabet.parse);
+//   * record names are the first space/tab/CR-delimited token after
+//     the '>' (leading blanks skipped — "> chr1" names 'chr1'; the
+//     '\r' of a CRLF header never enters the name);
+//   * bytes before the FIRST header are ignored entirely (the Python
+//     reader collects then discards them unparsed), so leading
+//     comment/junk lines neither raise nor shift coordinates;
+//   * whitespace inside sequence data is skipped; any OTHER unmapped
+//     byte is counted in n_unknown and the first one reported (value +
+//     file offset) so the binding can raise instead of silently
+//     dropping letters — a dropped base SHIFTS every downstream
+//     coordinate of the record.
+static inline bool fasta_blank(int c) {
+    return c == '\r' || c == ' ' || c == '\t';
 }
 
-int bst_fasta_scan(const char* path, const int8_t* code_map,
-                   int64_t* n_records, int64_t* total_len,
-                   int64_t* n_unknown, int* first_unknown,
-                   int64_t* unknown_pos) {
+struct fasta_counts {
+    int64_t n_records, total_len, n_unknown, unknown_pos;
+    int first_unknown;
+};
+
+// codes/offsets/lengths/header_pos/names_buf may all be NULL (count
+// mode).  Returns the record count, or -1 if the file cannot be read.
+static int64_t fasta_stream(const char* path, const int8_t* code_map,
+                            int8_t* codes, int64_t* offsets,
+                            int64_t* lengths, int64_t* header_pos,
+                            char* names_buf, int64_t names_cap,
+                            int64_t* names_needed, fasta_counts* counts) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    int64_t nrec = 0, total = 0, unknown = 0, fpos = -1, upos = -1;
+    int64_t rec = -1, pos = 0, rec_start = 0;
+    int64_t name_pos = 0, name_need = 0, fpos = -1, line_start = 0;
+    int64_t unknown = 0, upos = -1;
     int c, first = -1;
-    bool in_header = false;
+    bool in_header = false;    // between a header '>' and its '\n'
+    bool name_open = false;    // before/inside the name token
+    bool name_started = false; // collected at least one name byte
+    bool line_blank = true;    // nothing but whitespace since last '\n'
     while ((c = std::fgetc(f)) != EOF) {
         ++fpos;
-        if (c == '>') { in_header = true; ++nrec; continue; }
-        if (c == '\n') { in_header = false; continue; }
-        if (in_header) continue;
-        if (code_map[(unsigned char)c] >= 0) ++total;
-        else if (!fasta_ws(c)) {
-            ++unknown;
-            if (first < 0) { first = c; upos = fpos; }
-        }
-    }
-    std::fclose(f);
-    *n_records = nrec;
-    *total_len = total;
-    if (n_unknown) *n_unknown = unknown;
-    if (first_unknown) *first_unknown = first;
-    if (unknown_pos) *unknown_pos = upos;
-    return 0;
-}
-
-// Pass 2: pack codes into a flat buffer; offsets[r] = start of record r,
-// lengths[r] = its length; header_pos[r] (optional) = BYTE offset of
-// record r's '>' in the file (the DB's source_pos contract); names
-// flattened into names_buf separated by '\0' (caller sizes via scan +
-// name_cap). Returns number of records.  Unmapped non-whitespace bytes
-// are skipped HERE (the binding raises from the scan before packing
-// unless the caller opted into a mapping), so the skip can never be
-// hit silently.  names_needed (optional out): bytes required to hold
-// every name + its NUL.  When it exceeds names_cap the buffer content
-// is TRUNCATED and must not be trusted (a silently dropped terminator
-// would shift every later name) — the binding retries with the
-// reported size.
-int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
-                       int8_t* codes, int64_t* offsets, int64_t* lengths,
-                       int64_t* header_pos,
-                       char* names_buf, int64_t names_cap,
-                       int64_t* names_needed) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return -1;
-    int64_t rec = -1, pos = 0, name_pos = 0, name_need = 0, fpos = -1;
-    bool in_header = false, header_started = false;
-    int c;
-    while ((c = std::fgetc(f)) != EOF) {
-        ++fpos;
-        if (c == '>') {
-            if (rec >= 0) lengths[rec] = pos - offsets[rec];
-            ++rec;
-            offsets[rec] = pos;
-            if (header_pos) header_pos[rec] = fpos;
-            in_header = true;
-            header_started = true;
-            continue;
-        }
-        if (in_header) {
-            if (c == '\n') {
+        if (c == '\n') {
+            if (in_header) {
                 in_header = false;
                 ++name_need;
-                if (name_pos < names_cap) names_buf[name_pos++] = '\0';
-            } else if (header_started) {
-                if (c == ' ' || c == '\t') header_started = false;
-                else {
+                if (names_buf && name_pos < names_cap)
+                    names_buf[name_pos++] = '\0';
+            }
+            line_blank = true;
+            line_start = fpos + 1;
+            continue;
+        }
+        if (c == '>' && line_blank && !in_header) {
+            if (rec >= 0 && lengths) lengths[rec] = pos - rec_start;
+            ++rec;
+            rec_start = pos;
+            if (offsets) offsets[rec] = pos;
+            // the header LINE's start (== the '>' offset unless the
+            // header is indented) — parity with read_fasta's line_start
+            if (header_pos) header_pos[rec] = line_start;
+            in_header = true;
+            name_open = true;
+            name_started = false;
+            line_blank = false;
+            continue;
+        }
+        if (!fasta_blank(c)) line_blank = false;
+        if (in_header) {
+            if (name_open) {
+                if (fasta_blank(c)) {
+                    if (name_started) name_open = false;
+                    // else: leading blank after '>' — skip
+                } else {
+                    name_started = true;
                     ++name_need;
-                    if (name_pos + 1 < names_cap)
+                    if (names_buf && name_pos + 1 < names_cap)
                         names_buf[name_pos++] = (char)c;
                 }
             }
             continue;
         }
+        if (rec < 0) continue;  // pre-header junk: discarded unparsed
         int8_t code = code_map[(unsigned char)c];
-        if (code >= 0) codes[pos++] = code;
+        if (code >= 0) {
+            if (codes) codes[pos] = code;
+            ++pos;
+        } else if (!fasta_blank(c)) {
+            ++unknown;
+            if (first < 0) { first = c; upos = fpos; }
+        }
     }
-    if (rec >= 0) lengths[rec] = pos - offsets[rec];
-    if (names_needed) *names_needed = name_need;
+    if (rec >= 0 && lengths) lengths[rec] = pos - rec_start;
+    if (in_header) {  // header at EOF without a trailing newline
+        ++name_need;
+        if (names_buf && name_pos < names_cap) names_buf[name_pos++] = '\0';
+    }
     std::fclose(f);
+    if (names_needed) *names_needed = name_need;
+    if (counts) {
+        counts->n_records = rec + 1;
+        counts->total_len = pos;
+        counts->n_unknown = unknown;
+        counts->first_unknown = first;
+        counts->unknown_pos = upos;
+    }
     return rec + 1;
+}
+
+// Pass 1: count records and total packed length.
+int bst_fasta_scan(const char* path, const int8_t* code_map,
+                   int64_t* n_records, int64_t* total_len,
+                   int64_t* n_unknown, int* first_unknown,
+                   int64_t* unknown_pos) {
+    fasta_counts counts;
+    if (fasta_stream(path, code_map, nullptr, nullptr, nullptr, nullptr,
+                     nullptr, 0, nullptr, &counts) < 0)
+        return -1;
+    *n_records = counts.n_records;
+    *total_len = counts.total_len;
+    if (n_unknown) *n_unknown = counts.n_unknown;
+    if (first_unknown) *first_unknown = counts.first_unknown;
+    if (unknown_pos) *unknown_pos = counts.unknown_pos;
+    return 0;
+}
+
+// Pass 2: pack codes into a flat buffer; offsets[r] = start of record
+// r, lengths[r] = its length; header_pos[r] (optional) = BYTE offset
+// of record r's '>' in the file (the DB's source_pos contract); names
+// flattened into names_buf separated by '\0' (caller sizes via scan +
+// names_cap).  Returns number of records.  Unmapped non-whitespace
+// bytes are skipped HERE (the binding raises from the scan before
+// packing unless the caller opted into a mapping), so the skip can
+// never be hit silently.  names_needed (optional out): bytes required
+// to hold every name + its NUL.  When it exceeds names_cap the buffer
+// content is TRUNCATED and must not be trusted (a silently dropped
+// terminator would shift every later name) — the binding retries with
+// the reported size.
+int64_t bst_fasta_pack(const char* path, const int8_t* code_map,
+                       int8_t* codes, int64_t* offsets, int64_t* lengths,
+                       int64_t* header_pos,
+                       char* names_buf, int64_t names_cap,
+                       int64_t* names_needed) {
+    return fasta_stream(path, code_map, codes, offsets, lengths,
+                        header_pos, names_buf, names_cap, names_needed,
+                        nullptr);
 }
 
 }  // extern "C"

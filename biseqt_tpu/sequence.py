@@ -199,20 +199,30 @@ class Sequence:
         # per-letter ``tuple(int(c) ...)`` pass costs seconds at 5 Mbp.
         # The public ``contents`` tuple is materialized lazily; every
         # container/algebra op below works off the array.
+        # range-validate BEFORE the int8 narrowing: a cast-first check
+        # would silently accept codes that wrap into range (256 -> 0)
+        # or floats that truncate into range (1.7 -> 1)
         if isinstance(contents, np.ndarray):
-            # own copy: freezing a caller's buffer (or aliasing one it
-            # later mutates) must not be observable
-            arr = np.array(contents, np.int8)
+            if not np.issubdtype(contents.dtype, np.integer):
+                raise ValueError(
+                    "sequence codes must be integers, got dtype %s"
+                    % contents.dtype)
+            if contents.ndim != 1:
+                raise ValueError("sequence codes must be one-dimensional")
+            if contents.size:
+                if (int(contents.min()) < 0
+                        or int(contents.max()) >= len(alphabet)):
+                    raise ValueError("letter code out of range for alphabet")
+            # astype copies: freezing a caller's buffer (or aliasing one
+            # it later mutates) must not be observable
+            arr = contents.astype(np.int8)
             self._contents = None
         else:
             tup = tuple(int(c) for c in contents)
+            if any(c < 0 or c >= len(alphabet) for c in tup):
+                raise ValueError("letter code out of range for alphabet")
             arr = np.asarray(tup, np.int8)
             self._contents = tup
-        if arr.ndim != 1:
-            raise ValueError("sequence codes must be one-dimensional")
-        if arr.size:
-            if int(arr.min()) < 0 or int(arr.max()) >= len(alphabet):
-                raise ValueError("letter code out of range for alphabet")
         arr.flags.writeable = False
         self.alphabet = alphabet
         self._arr = arr

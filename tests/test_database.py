@@ -117,6 +117,43 @@ def test_fasta_ingest_native_matches_python(tmp_path):
     assert str(db_native.load_from_record(recs_n[0])) == "ACGTACGT"
 
 
+def test_fasta_ingest_edge_semantics_parity(tmp_path):
+    """Degenerate FASTA shapes parse IDENTICALLY in both tiers (round-4
+    review findings: the native scanner treated '>' ANYWHERE as a record
+    start, kept CRLF '\\r' in names, dropped '> name' tokens, and raised
+    on pre-header junk the Python reader silently discards)."""
+    cases = [
+        # '>' inside a description is NOT a record start
+        (b">read1 len>500\nACGT\n", [("read1", "ACGT", 0)]),
+        # CRLF: '\r' never enters the name or the sequence
+        (b">seq1\r\nACGT\r\nGGTT\r\n", [("seq1", "ACGTGGTT", 0)]),
+        # leading blank after '>' is skipped, first token is the name
+        (b"> chr1\nACGT\n", [("chr1", "ACGT", 0)]),
+        # pre-header junk lines are discarded unparsed (never raise)
+        (b"; comment\nrandom junk\n>r1\nACGT\n", [("r1", "ACGT", 22)]),
+        # '>' inside the name token is part of the name
+        (b">a>b desc\nAC\n", [("a>b", "AC", 0)]),
+        # header indented by whitespace; source_pos is the LINE start
+        (b"  >ind\nACGT\n", [("ind", "ACGT", 0)]),
+        # empty record between two headers
+        (b">e1\n>e2\nAC\n", [("e1", "", 0), ("e2", "AC", 4)]),
+    ]
+    for k, (data, want) in enumerate(cases):
+        p = str(tmp_path / ("edge%d.fa" % k))
+        with open(p, "wb") as f:
+            f.write(data)
+        for tier in ("native", "python"):
+            db = DB(":memory:", A4)
+            if tier == "native":
+                recs = db.load_fasta(p)
+            else:
+                with open(p) as f:
+                    recs = db.load_fasta(f, source_file=p)
+            got = [(r.attrs["name"], str(db.load_from_record(r)),
+                    r.source_pos) for r in recs]
+            assert got == want, (tier, k, got, want)
+
+
 def test_fasta_ingest_unknown_letter_raises_both_paths(tmp_path):
     """Ambiguity codes raise in BOTH ingest tiers (never silent skip —
     a dropped base shifts every downstream coordinate)."""
@@ -128,6 +165,16 @@ def test_fasta_ingest_unknown_letter_raises_both_paths(tmp_path):
     with open(p) as f:
         with pytest.raises(ValueError):
             DB(":memory:", A4).load_fasta(f)           # Python reader
+    # a mid-line '>' in sequence data is an unmapped LETTER, not a
+    # record start — both tiers raise
+    p2 = str(tmp_path / "bad2.fa")
+    with open(p2, "w") as f:
+        f.write(">r\nAC>GT\n")
+    with pytest.raises(ValueError):
+        DB(":memory:", A4).load_fasta(p2)
+    with open(p2) as f:
+        with pytest.raises(ValueError):
+            DB(":memory:", A4).load_fasta(f)
 
 
 def test_find_sql_condition():

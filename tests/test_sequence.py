@@ -34,6 +34,25 @@ def test_multicharacter_alphabet():
         A.parse("000")  # not a multiple of letter length
 
 
+def test_sequence_code_validation():
+    """Out-of-range / non-integer codes raise ValueError BEFORE the int8
+    narrowing (round-4 review finding: a cast-first check silently
+    accepted 256 -> 'A' and 1.7 -> 'C')."""
+    with pytest.raises(ValueError):
+        Sequence(A4, np.array([256]))            # wraps to 0 if cast first
+    with pytest.raises(ValueError):
+        Sequence(A4, np.array([-1]))
+    with pytest.raises(ValueError):
+        Sequence(A4, np.array([1.7]))            # float truncation
+    with pytest.raises(ValueError):
+        Sequence(A4, (256,))                     # tuple path: ValueError,
+    with pytest.raises(ValueError):              # not OverflowError
+        Sequence(A4, (4,))
+    with pytest.raises(ValueError):
+        Sequence(A4, np.zeros((2, 2), np.int8))  # not 1-d
+    assert str(Sequence(A4, np.array([0, 1, 2, 3], np.int64))) == "ACGT"
+
+
 def test_sequence_algebra():
     s = A4.parse("ACGT")
     assert len(s) == 4
