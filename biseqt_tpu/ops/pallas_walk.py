@@ -81,6 +81,18 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         "to a power of two <= 256); got %r" % (RC,))
     GPC = 256 // RC            # chunks per 128-byte trace group
 
+    # merged-parity extraction constants (round-4 op-count squeeze): at
+    # antidiagonal a, lane l serves parity slot (a + l) % 2 — an ACTIVE
+    # cursor's lane parity always matches its slot's, so ONE compare
+    # against a slot-selected cursor vector replaces the two per-slot
+    # one-hots, and a static {1, 16} weight vector replaces the
+    # slot-1 nibble multiply.  Two variants, chosen by a % 2 at the
+    # static unroll step.
+    lane_par = lanes & 1
+    m1_by_par = (lane_par == 1, lane_par == 0)   # slot-1 mask, a even/odd
+    wv_by_par = (jnp.where(m1_by_par[0], 16, 1),
+                 jnp.where(m1_by_par[1], 16, 1))
+
     def gsl(ref, g):
         return ref[g * GB:(g + 1) * GB, :1]
 
@@ -128,25 +140,21 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
 
     start_dma(0, n_chunks - 1)
 
-    def extract2(nib_row, x0, x1):
-        """Both parity slots' bytes from one plane row in ONE lane
-        reduction.
+    def extract2(nib_row, x0, x1, m1, wv):
+        """Both parity slots' bytes from one plane row in ONE compare +
+        ONE lane reduction.
 
-        ACTIVE cursors sit on complementary lane parities, so their
-        one-hot masks never collide: weight slot 1's nibble by 16 and
-        SUM-reduce — the result packs (byte0 + 16 * byte1) exactly.
-        One 7-stage lane reduction instead of two (the extraction was
-        ~60% of the walk's runtime — round-4 census).  Callers MUST
-        pass inactive cursors as an impossible lane (e.g. -1): an
-        inactive slot's stale cursor has arbitrary parity and a lane
-        collision would corrupt the ACTIVE slot's sum (the old
-        per-parity max-extract tolerated stale cursors; this one does
-        not).
+        ACTIVE cursors sit on complementary lane parities (slot p owns
+        lanes with ``(a + x) % 2 == p``), so lane l only ever needs to
+        compare against ONE slot's cursor — ``m1`` selects it — and the
+        static ``wv`` = {1, 16} weight vector pre-scales slot 1's
+        nibble so the SUM-reduce packs ``byte0 + 16 * byte1`` exactly.
+        Callers MUST pass inactive cursors as an impossible lane
+        (e.g. -1): an inactive slot's stale cursor has arbitrary parity
+        and a lane collision would corrupt the ACTIVE slot's sum.
         """
-        payload = (
-            jnp.where(lanes == x0, nib_row, 0)
-            + jnp.where(lanes == x1, nib_row * 16, 0)
-        )
+        xsel = jnp.where(m1, x1, x0)
+        payload = jnp.where(lanes == xsel, nib_row * wv, 0)
         # lane reduction stays on the VPU: an MXU dot (payload @ ones)
         # measured 85.6 ms vs 77.8 — each step's byte feeds the very
         # next scalar update, so the matmul's latency lands on the
@@ -158,48 +166,57 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
               * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
         return b0, b1
 
-    def step_walk(byte, active, i, j, st, dn):
+    def step_walk(byte, act, A, X, I, J, ST):
         """One fused walker action for one interleave group's walks,
         BOTH parity slots at once.
 
-        All inputs [GB, 2] i32 (``active`` bool), lane p = parity p.
-        Returns the op columns and the updated cursor state.
+        All inputs [GB, 2] i32 (``act`` bool), lane p = parity slot p.
+        Carries: ``A = i + j`` (-2 once done — the DN flag of the
+        round-3 kernel is folded in), ``X = i - j - dmin'`` (the plane
+        lane), ``I``/``J`` the cursor, ``ST`` the gap state encoded AS
+        the op it emits (0 = H, 2 = in-E/INS, 3 = in-F/DEL) so the
+        effective op is one select and the move deltas fall out of the
+        op code arithmetically: ``di = OP & 1`` (diag/del consume s),
+        ``dj = ((OP+1) & 2) != 0`` (diag/ins consume t),
+        ``dx = dj - di``.  The gap-state update exploits an invariant:
+        a walker with ``ST != 0`` is active at EVERY antidiagonal until
+        its run ends (gap moves decrement a by exactly 1), so inactive
+        walkers always have ``ST == 0`` and the update needs no
+        act-gating: ``ST2 = where(cont, OP, 0)``.
         """
         if strip == 23:   # diagnostics: no scalar walker-state logic
-            return byte & 3, i, j, st, dn
+            return byte & 3, A, X, I, J, ST
         src = byte & 3
-        e_ext = (byte & 4) != 0
-        f_ext = (byte & 8) != 0
-        is_h = st == 0
+        stn = ST != 0
+        eff = jnp.where(stn, ST, src)
         # in H: i==0 / j==0 (band/edge start) or src==0 (local start)
         # ends the walk without emitting; gap-entry (src 2/3) is fused
         # with its first emit — the scalar walker re-reads the same byte
-        stop = is_h & ((i == 0) | (j == 0) | (src == 0))
-        act = active & ~stop
-        go_e = act & ((is_h & (src == 2)) | (st == 1))
-        go_f = act & ((is_h & (src == 3)) | (st == 2))
-        go_d = act & is_h & (src == 1)
-        op = jnp.where(
-            go_d, OP_DIAG,
-            jnp.where(go_e, OP_INS, jnp.where(go_f, OP_DEL, OP_NONE)),
-        )
-        i2 = i - jnp.where(go_d | go_f, 1, 0)
-        j2 = j - jnp.where(go_d | go_e, 1, 0)
-        st2 = jnp.where(
-            act,
-            jnp.where(go_e & e_ext & (j2 > 0), 1,
-                      jnp.where(go_f & f_ext & (i2 > 0), 2, 0)),
-            st,
-        )
-        dn2 = jnp.where(active & stop, 1, dn)
-        return op, i2, j2, st2, dn2
+        stop = (jnp.minimum(I, J) == 0) | (src == 0)
+        keep = stn | ~stop            # stop applies in H only
+        emit = act & keep
+        OP = jnp.where(emit, eff, 0)
+        di = OP & 1
+        dj = jnp.where(((OP + 1) & 2) != 0, 1, 0)
+        I2 = I - di
+        J2 = J - dj
+        X2 = X + (dj - di)
+        A2 = jnp.where(act & ~keep, -2, A - di - dj)
+        is_e = OP == OP_INS
+        gbit = jnp.where(is_e, byte & 4, byte & 8)
+        live = jnp.where(is_e, J2, I2)
+        cont = ((OP & 2) != 0) & (gbit != 0) & (live > 0)
+        ST2 = jnp.where(cont, OP, 0)
+        return OP, A2, X2, I2, J2, ST2
 
-    # carry layout: G repetitions of (I, J, ST, DN, acc0, acc1); the
+    # carry layout: G repetitions of (A, X, I, J, ST, acc0, acc1); the
     # cursor state is parity-packed [GB, 2], accs are [GB, 128].
+    NC = 7
+
     def chunk_body(cc, carry):
         c = n_chunks - 1 - cc
         slot = cc % 2
-        gs = [list(carry[6 * g:6 * g + 6]) for g in range(G)]
+        gs = [list(carry[NC * g:NC * g + NC]) for g in range(G)]
 
         @pl.when(cc + 1 < n_chunks)
         def _():
@@ -215,33 +232,50 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
 
         # trace byte lane within this chunk's 128-byte group
         lane0 = (c % GPC) * (RC // 2)
+        # per-byte op accumulators [GB, 1]: the wide [GB, 128] trace
+        # accs are touched once per BYTE (4 steps), not once per step —
+        # the ops of a byte's 4 steps sum in tiny registers first
+        # (round-4 squeeze: saves ~4 wide ops/step; byte boundaries
+        # align with the descending unroll because 2*RC % 4 == 0)
+        bacc = [[None, None] for _ in range(G)]
         for rr in reversed(range(2 * RC)):
             r, q = rr // 2, rr % 2
             a = c * (2 * RC) + rr
-            sel = steps_q == lane0 + rr // 4
+            # a % 2 == rr % 2 (2*RC is even), so the parity variant is
+            # static per unrolled step even though a itself is traced
+            m1 = m1_by_par[rr % 2]
+            wv = wv_by_par[rr % 2]
             w = 1 << (2 * (rr % 4))   # 2-bit field (rr % 4) of the byte
             for g in range(G):
                 nib_row = (hi if q else lo)[g * GB:(g + 1) * GB, r, :]
-                I, J, ST, DN, acc0, acc1 = gs[g]
+                A, X, I, J, ST, acc0, acc1 = gs[g]
                 # parity slot p owns lanes with (a + x) % 2 == p; both
                 # slots act at every a, on complementary lanes — one
                 # fused extraction serves both (inactive cursors
                 # masked to -1)
-                act = (DN == 0) & (I + J == a)
-                Xm = jnp.where(act, I - J - dq[g], -1)
+                act = A == a
+                Xm = jnp.where(act, X, -1)
                 if strip == 22:   # diagnostics: no byte extraction
                     BY = jnp.full((GB, 2), 1, jnp.int32)
                 else:
-                    byte0, byte1 = extract2(nib_row, col0(Xm), col1(Xm))
+                    byte0, byte1 = extract2(nib_row, col0(Xm), col1(Xm),
+                                            m1, wv)
                     BY = pack2(byte0, byte1)
-                OP, I, J, ST, DN = step_walk(BY, act, I, J, ST, DN)
+                OP, A, X, I, J, ST = step_walk(BY, act, A, X, I, J, ST)
                 if strip != 20:   # 20 = no trace accumulation
                     op0 = col0(OP)
                     op1 = (op0 if strip == 21   # 21 = single parity
                            else col1(OP))
-                    acc0 = jnp.where(sel, acc0 + op0 * w, acc0)
-                    acc1 = jnp.where(sel, acc1 + op1 * w, acc1)
-                gs[g] = [I, J, ST, DN, acc0, acc1]
+                    if rr % 4 == 3:
+                        bacc[g] = [op0 * w, op1 * w]
+                    else:
+                        bacc[g] = [bacc[g][0] + op0 * w,
+                                   bacc[g][1] + op1 * w]
+                    if rr % 4 == 0:
+                        sel = steps_q == lane0 + rr // 4
+                        acc0 = jnp.where(sel, acc0 + bacc[g][0], acc0)
+                        acc1 = jnp.where(sel, acc1 + bacc[g][1], acc1)
+                gs[g] = [A, X, I, J, ST, acc0, acc1]
 
         # flush at the group's LOW chunk (processing order is
         # descending, so c % GPC == 0 closes its group); ~8 KB,
@@ -249,8 +283,8 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         @pl.when(c % GPC == 0)
         def _():
             for g in range(G):
-                obuf[0, g * GB:(g + 1) * GB] = gs[g][4].astype(jnp.uint8)
-                obuf[1, g * GB:(g + 1) * GB] = gs[g][5].astype(jnp.uint8)
+                obuf[0, g * GB:(g + 1) * GB] = gs[g][5].astype(jnp.uint8)
+                obuf[1, g * GB:(g + 1) * GB] = gs[g][6].astype(jnp.uint8)
             out_dma(c // GPC, 0).start()
             out_dma(c // GPC, 1).start()
             out_dma(c // GPC, 0).wait()
@@ -259,26 +293,29 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
         flushed = (c % GPC) == 0
         zero = jnp.zeros((GB, 128), jnp.int32)
         for g in range(G):
-            gs[g][4] = jnp.where(flushed, zero, gs[g][4])
             gs[g][5] = jnp.where(flushed, zero, gs[g][5])
+            gs[g][6] = jnp.where(flushed, zero, gs[g][6])
         return tuple(x for g in range(G) for x in gs[g])
 
     zacc = jnp.zeros((GB, 128), jnp.int32)
-    init = tuple(
-        x for g in range(G) for x in (
-            pack2(gsl(ei0_ref, g), gsl(ei1_ref, g)),
-            pack2(gsl(ej0_ref, g), gsl(ej1_ref, g)),
-            jnp.zeros((GB, 2), jnp.int32),
-            jnp.where(
-                pack2(gsl(ei0_ref, g), gsl(ei1_ref, g)) < 0, 1, 0),
-            zacc, zacc)
-    )
+
+    def ginit(g):
+        EI = pack2(gsl(ei0_ref, g), gsl(ei1_ref, g))
+        EJ = pack2(gsl(ej0_ref, g), gsl(ej1_ref, g))
+        # A = i + j, or -2 once done (-1 end cells mean "skip": their
+        # A is negative from the start, so they never activate)
+        A0 = jnp.where(EI < 0, -2, EI + EJ)
+        X0 = EI - EJ - dq[g]
+        return (A0, X0, EI, EJ, jnp.zeros((GB, 2), jnp.int32),
+                zacc, zacc)
+
+    init = tuple(x for g in range(G) for x in ginit(g))
     fin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
     for g in range(G):
-        fi0_ref[g * GB:(g + 1) * GB, :] = col0(fin[6 * g + 0])
-        fj0_ref[g * GB:(g + 1) * GB, :] = col0(fin[6 * g + 1])
-        fi1_ref[g * GB:(g + 1) * GB, :] = col1(fin[6 * g + 0])
-        fj1_ref[g * GB:(g + 1) * GB, :] = col1(fin[6 * g + 1])
+        fi0_ref[g * GB:(g + 1) * GB, :] = col0(fin[NC * g + 2])
+        fj0_ref[g * GB:(g + 1) * GB, :] = col0(fin[NC * g + 3])
+        fi1_ref[g * GB:(g + 1) * GB, :] = col1(fin[NC * g + 2])
+        fj1_ref[g * GB:(g + 1) * GB, :] = col1(fin[NC * g + 3])
 
 
 @functools.partial(
