@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import warnings
 
 import numpy as np
 
@@ -60,7 +61,18 @@ def _load():
     # with a prebuilt .so and no toolchain must keep its native tier
     # (an unconditional make would FileNotFoundError it away)
     if _stale():
-        _build()
+        try:
+            _build()
+        except (OSError, subprocess.CalledProcessError):
+            if not os.path.exists(_SO):
+                raise
+            # source mtime > .so mtime but no working toolchain: common
+            # after archive extraction reorders mtimes of files built
+            # together.  Keep the prebuilt .so (loudly — if the source
+            # REALLY changed the ABI, a rebuild is required).
+            warnings.warn(
+                "pwnative.cpp is newer than libpwnative.so and rebuilding"
+                " failed; loading the existing .so anyway", RuntimeWarning)
     lib = ctypes.CDLL(_SO)
     lib.bst_align.restype = ctypes.c_int
     lib.bst_align.argtypes = [

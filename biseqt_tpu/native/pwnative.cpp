@@ -466,7 +466,9 @@ int bst_compact_sweep_batch(
 //     dropping letters — a dropped base SHIFTS every downstream
 //     coordinate of the record.
 static inline bool fasta_blank(int c) {
-    return c == '\r' || c == ' ' || c == '\t';
+    // match Python str whitespace (the pure-Python reader's
+    // line.split() semantics): \v and \f count too
+    return c == '\r' || c == ' ' || c == '\t' || c == '\v' || c == '\f';
 }
 
 struct fasta_counts {

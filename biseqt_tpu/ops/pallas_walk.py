@@ -345,6 +345,12 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     assert Wd == W and W % 128 == 0
     B = dminq.shape[0]        # may be < 2*B2 (the DP kernel pads planes)
     assert B <= 2 * B2 and end_i.shape == (B,) and end_j.shape == (B,)
+    if B2 == 0 or Rp == 0:
+        # degenerate plane: no steps to walk — without this guard the
+        # unconditional first start_dma would read HBM at offset
+        # RC * (n_chunks - 1) = -RC and never be waited on
+        return (jnp.zeros((B2, 0), jnp.uint8), jnp.zeros((B2, 0), jnp.uint8),
+                end_i.astype(jnp.int32), end_j.astype(jnp.int32))
     # the trace-group flush logic needs RC | 256 (a 128-byte group is a
     # whole number of chunks) and RC even (nibble pairs) — clamp the
     # requested r_rows DOWN to the largest power of two <= min(r_rows,

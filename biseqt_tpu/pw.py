@@ -266,19 +266,7 @@ class Aligner:
             return self._solve_pallas_ad(with_dirs)
         if self.backend == "pallas_row":
             return self._solve_pallas(with_dirs)
-        ls, lt = len(self.origin), len(self.mutate)
-        s_arr = self.origin.to_array(np.int8)
-        t_arr = self.mutate.to_array(np.int8)
-        # bucket padded shapes so repeated solves share compiled programs;
-        # lengths are carried separately so padding is semantically inert
-        ls_p, lt_p = _bucket(ls), _bucket(lt)
-        s = np.full((1, ls_p), -1, np.int8)
-        s[0, :ls] = s_arr
-        t = np.full((1, lt_p), -1, np.int8)
-        t[0, :lt] = t_arr
-        s, t = jnp.asarray(s), jnp.asarray(t)
-        sl = jnp.asarray([ls], jnp.int32)
-        tl = jnp.asarray([lt], jnp.int32)
+        s, t, sl, tl = self._padded_codes()
         flags = _FLAGS[self.alntype]
         if self.alnmode == STD_MODE:
             res = full_dp(
@@ -308,6 +296,21 @@ class Aligner:
             return None
         return score
 
+    def _padded_codes(self):
+        """[1, L]-shaped device code arrays + length vectors for the
+        jitted engines, -1 (PAD) filled to bucketed shapes so repeated
+        solves share compiled programs (every distinct (ls, lt) is
+        otherwise a fresh — remote, on this environment — compile);
+        lengths ride alongside, so padding is semantically inert."""
+        ls, lt = len(self.origin), len(self.mutate)
+        ls_p, lt_p = _bucket(max(ls, 1)), _bucket(max(lt, 1))
+        s = np.full((1, ls_p), -1, np.int8)
+        s[0, :ls] = self.origin.to_array(np.int8)
+        t = np.full((1, lt_p), -1, np.int8)
+        t[0, :lt] = self.mutate.to_array(np.int8)
+        return (jnp.asarray(s), jnp.asarray(t),
+                jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32))
+
     def _solve_pallas_ad(self, with_dirs: bool):
         """Flagship TPU solve: the antidiagonal dual-pair kernel.
 
@@ -325,16 +328,10 @@ class Aligner:
         W_req = dmax - dmin + 1
         # the AD kernel needs one lane of parity slack (w_eff <= W - 1)
         Wp = _bucket(W_req + 1, mini=128)
-        ls, lt = len(self.origin), len(self.mutate)
-        ls_p, lt_p = _bucket(max(ls, 1)), _bucket(max(lt, 1))
-        s = np.full((1, ls_p), -1, np.int8)
-        s[0, :ls] = self.origin.to_array(np.int8)
-        t = np.full((1, lt_p), -1, np.int8)
-        t[0, :lt] = self.mutate.to_array(np.int8)
+        s, t, sl, tl = self._padded_codes()
         interp = jax.default_backend() == "cpu"
         res = banded_dp_pallas_ad(
-            jnp.asarray(s), jnp.asarray(t),
-            jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
+            s, t, sl, tl,
             jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
             subst=self.subst_scores, go=self.go_score, ge=self.ge_score,
             flags=_FLAGS[self.alntype], w_eff=jnp.asarray([W_req],
@@ -361,20 +358,11 @@ class Aligner:
         dmin, dmax = self.diag_range
         W = dmax - dmin + 1
         Wp = _bucket(W, mini=128)
-        ls, lt = len(self.origin), len(self.mutate)
-        # bucket padded shapes like the lax path: every distinct (ls, lt)
-        # is otherwise a fresh remote Pallas compile (lengths ride
-        # alongside, so padding is semantically inert)
-        ls_p, lt_p = _bucket(max(ls, 1)), _bucket(max(lt, 1))
-        s = np.full((1, ls_p), -1, np.int8)
-        s[0, :ls] = self.origin.to_array(np.int8)
-        t = np.full((1, lt_p), -1, np.int8)
-        t[0, :lt] = self.mutate.to_array(np.int8)
+        s, t, sl, tl = self._padded_codes()
         import jax
 
         res = banded_dp_pallas(
-            jnp.asarray(s), jnp.asarray(t),
-            jnp.asarray([ls], jnp.int32), jnp.asarray([lt], jnp.int32),
+            s, t, sl, tl,
             jnp.asarray([dmax - Wp + 1], jnp.int32), W=Wp,
             subst=self.subst_scores, go=self.go_score, ge=self.ge_score,
             flags=_FLAGS[self.alntype], with_dirs=with_dirs,
@@ -469,6 +457,14 @@ class Aligner:
 
             if float(res.score[0]) <= -1e29:
                 return None
+            if not native.available():
+                raise RuntimeError(
+                    "Aligner(backend='pallas').traceback() walks the AD "
+                    "dirs nibbles with the native C++ tier, which is "
+                    "unavailable (no prebuilt libpwnative.so and the "
+                    "build failed — is a C++ toolchain installed?); "
+                    "use backend='lax' or 'pallas_row' for a pure-"
+                    "Python traceback")
             dminq = parity_adjusted_dmin(
                 np.asarray([self._ad_dmin], np.int32),
                 np.asarray([0], np.int32),

@@ -281,11 +281,14 @@ class Sequence:
             return Sequence(
                 self.alphabet, np.concatenate([self._arr, other._arr])
             )
-        # allow raw iterables of codes
+        # allow raw iterables of codes: wide dtype here so __init__'s
+        # ndarray path range-validates BEFORE any int8 narrowing (a
+        # direct int8 asarray would overflow/wrap out-of-range codes)
         return Sequence(
             self.alphabet,
             np.concatenate([
-                self._arr, np.asarray(tuple(other), np.int8)
+                self._arr.astype(np.int64),
+                np.asarray(tuple(other), np.int64),
             ]),
         )
 

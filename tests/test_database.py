@@ -137,6 +137,11 @@ def test_fasta_ingest_edge_semantics_parity(tmp_path):
         (b"  >ind\nACGT\n", [("ind", "ACGT", 0)]),
         # empty record between two headers
         (b">e1\n>e2\nAC\n", [("e1", "", 0), ("e2", "AC", 4)]),
+        # \v / \f are Python str whitespace: dropped in sequence data,
+        # and a \f-indented '>' is still a header (round-4 review:
+        # the native fasta_blank only covered \r, space, \t)
+        (b">r1\nAC\x0bGT\n\x0c>r2\nGG\x0cTT\n",
+         [("r1", "ACGT", 0), ("r2", "GGTT", 10)]),
     ]
     for k, (data, want) in enumerate(cases):
         p = str(tmp_path / ("edge%d.fa" % k))

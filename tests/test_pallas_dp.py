@@ -172,8 +172,11 @@ def test_pallas_dirs_match_lax(rng, flags):
         assert (tx_p, i_p, j_p) == (tx_l, i_l, j_l), (flags, b)
 
 
-def test_aligner_pallas_backend(rng):
-    """Aligner(backend='pallas') solves + tracebacks like the lax backend."""
+def test_aligner_pallas_row_backend(rng):
+    """Aligner(backend='pallas_row') — the ROW kernel's Aligner route —
+    solves + tracebacks like the lax backend.  (backend='pallas' routes
+    to the AD kernel since round 4; this is the only Aligner-level
+    coverage of _solve_pallas + row-layout traceback_path.)"""
     from biseqt_tpu import pw
     from biseqt_tpu.pw import Aligner
 
@@ -186,7 +189,7 @@ def test_aligner_pallas_backend(rng):
     with Aligner(S, T, **kw) as a_lax:
         s_lax = a_lax.solve()
         tx_lax = a_lax.traceback()
-    with Aligner(S, T, backend="pallas", **kw) as a_p:
+    with Aligner(S, T, backend="pallas_row", **kw) as a_p:
         s_p = a_p.solve()
         tx_p = a_p.traceback()
     assert s_p == pytest.approx(s_lax, abs=1e-3)

@@ -187,3 +187,19 @@ def test_device_walk_interleave_groups_match(rng):
         np.testing.assert_array_equal(
             np.asarray(outs[0][k]), np.asarray(outs[1][k]),
             err_msg="output %d differs between groups=1 and groups=2" % k)
+
+
+def test_device_walk_empty_plane():
+    """Rp=0 / B2=0 planes return empty traces and untouched cursors
+    instead of launching an out-of-bounds negative-offset DMA (round-4
+    review finding)."""
+    for B2, Rp in ((3, 0), (0, 0)):
+        B = 2 * B2
+        tr0, tr1, fi, fj = traceback_sweep(
+            jnp.zeros((B2, Rp, 128), jnp.uint8),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), 5, jnp.int32), jnp.full((B,), 7, jnp.int32),
+            W=128, block_b=8, interpret=True)
+        assert tr0.shape == (B2, 0) and tr1.shape == (B2, 0)
+        np.testing.assert_array_equal(np.asarray(fi), np.full((B,), 5))
+        np.testing.assert_array_equal(np.asarray(fj), np.full((B,), 7))

@@ -51,6 +51,13 @@ def test_sequence_code_validation():
     with pytest.raises(ValueError):
         Sequence(A4, np.zeros((2, 2), np.int8))  # not 1-d
     assert str(Sequence(A4, np.array([0, 1, 2, 3], np.int64))) == "ACGT"
+    # __add__ with a raw iterable validates BEFORE narrowing too
+    # (round-4 review: a direct int8 asarray OverflowError'd/wrapped)
+    with pytest.raises(ValueError):
+        Sequence(A4, (0, 1)) + (256,)
+    with pytest.raises(ValueError):
+        Sequence(A4, (0, 1)) + (4,)
+    assert str(Sequence(A4, (0, 1)) + (2, 3)) == "ACGT"
 
 
 def test_sequence_algebra():
