@@ -77,7 +77,8 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             W: int, Apad: int, BT: int, A: int, go: float, ge: float,
             flags: ModeFlags, uniform, R: int, strip: int = 0,
             with_dirs: bool = False, i8win: bool = False,
-            subst_planes: bool = False):
+            subst_planes: bool = False, subst_packed: bool = False,
+            pack_vmin: float = 0.0, pack_g: float = 1.0):
     if with_dirs:
         (score0_ref, score1_ref, dirs_hbm, ma_ref, mb_ref, aa_ref, ab_ref,
          sbuf, tbuf, dbuf, sems) = rest
@@ -140,6 +141,30 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             [subst_ref[0, a * A + bb] + 2.0 * gd for bb in range(A)]
             for a in range(A)
         ]
+    if subst_packed:
+        # packed-planes path (round 4, protein-scale alphabets): the
+        # matrix is on an integer grid subst = vmin + g*code with code
+        # in [0, 30] (host-verified), so FOUR s-letters' t-value planes
+        # pack into ONE f32 plane as base-32 digits (max 31*(32^4-1)/31
+        # = 2^20-1 < 2^24: exact).  Per step the A-way plane select
+        # shrinks to a P = ceil(A/4)-way select and the A plane rolls
+        # to P rolls; extraction is one multiply by 2^-5m (a POWER OF
+        # TWO, so the product is exact), an i32 floor-cast and &31.
+        # Code 31 is the t-PAD sentinel in every digit slot.
+        KP = 4
+        PP = (A + KP - 1) // KP
+        inv_g = 1.0 / pack_g
+        _crow = [
+            [jnp.round((subst_ref[0, a * A + bb] - pack_vmin) * inv_g)
+             for bb in range(A)] for a in range(A)
+        ]
+        pcrows = [
+            [sum(_crow[p * KP + k][bb] * float(32 ** k)
+                 for k in range(KP) if p * KP + k < A)
+             for bb in range(A)]
+            for p in range(PP)
+        ]
+        PACK_SENT = jnp.float32(31 * (32 ** 4 - 1) // 31)  # 31 everywhere
 
     def sub_score(s_win, t_win):
         if uniform is not None:
@@ -280,6 +305,29 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 for bb in range(1, A):
                     rowv = jnp.where(t_chunk == bb, srows[a_][bb], rowv)
                 planes.append(jnp.where(t_chunk < 0, poison, rowv))
+        elif subst_packed:
+            # packed planes: P = ceil(A/4) planes, each holding 4
+            # s-letters' integer code rows as base-32 digits; t-PAD
+            # lanes carry the 31 sentinel in every digit.  The s side
+            # precomputes, per chunk, the per-lane plane index (qidx =
+            # s // 4, -1 for s-PAD) and the digit-extraction scale
+            # (2^-5m for m = s % 4); both roll with the s window.
+            poison = jnp.float32(-1.0 + 2.0 * gd)
+            pplanes = []
+            for p in range(PP):
+                rowv = jnp.full(t_chunk.shape, pcrows[p][0], jnp.float32)
+                for bb in range(1, A):
+                    rowv = jnp.where(t_chunk == bb, pcrows[p][bb], rowv)
+                pplanes.append(jnp.where(t_chunk < 0, PACK_SENT, rowv))
+            sfq = (s_chunk.astype(jnp.float32)
+                   * jnp.float32(0.25)).astype(jnp.int32)  # floor, s >= 0
+            qidx = jnp.where(s_chunk < 0, -1, sfq)
+            mrem = s_chunk - 4 * sfq                       # s % 4
+            pscale = jnp.where(
+                mrem == 1, jnp.float32(2.0 ** -5),
+                jnp.where(mrem == 2, jnp.float32(2.0 ** -10),
+                          jnp.where(mrem == 3, jnp.float32(2.0 ** -15),
+                                    jnp.float32(1.0))))
         a0 = c * R
         ga0 = (c * (R * gd)).astype(jnp.float32) if gd else jnp.float32(0)
 
@@ -314,6 +362,23 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 if r + 1 < R:
                     s_chunk = pltpu.roll(s_chunk, W + R - 1, 1)
                     planes = [pltpu.roll(p, 1, 1) for p in planes]
+            elif subst_packed:
+                # P-way packed-plane select + exact base-32 digit
+                # extraction (see the chunk-entry comment); code 31 =
+                # t-PAD, qidx < 0 = s-PAD, both -> poison
+                qw = qidx[:, :W]
+                pk = pplanes[0][:, :W]
+                for p in range(1, PP):
+                    pk = jnp.where(qw == p, pplanes[p][:, :W], pk)
+                vi = (pk * pscale[:, :W]).astype(jnp.int32)
+                low = vi & 31
+                subv = (low.astype(jnp.float32) * jnp.float32(pack_g)
+                        + jnp.float32(pack_vmin + 2.0 * gd))
+                sub = jnp.where((low == 31) | (qw < 0), poison, subv)
+                if r + 1 < R:
+                    qidx = pltpu.roll(qidx, W + R - 1, 1)
+                    pscale = pltpu.roll(pscale, W + R - 1, 1)
+                    pplanes = [pltpu.roll(p, 1, 1) for p in pplanes]
             else:
                 sub = sub_score(s_chunk[:, :W], t_chunk[:, :W])
                 if r + 1 < R:
@@ -497,12 +562,40 @@ def _shift_stream(codes, shifts, valid_len, out_len, pad):
     return jnp.where((src >= 0) & (src < valid_len[:, None]), out, pad)
 
 
+def _int_grid(subst_np, max_code: int = 30):
+    """``(vmin, g)`` if every entry is ``vmin + g * k`` with integer
+    ``k`` in ``[0, max_code]`` (g found by float Euclid over the unique
+    offsets), else None.  All standard biological matrices (BLOSUM,
+    PAM, unit match/mismatch) are integer grids; the packed-planes
+    kernel path needs one to encode values as base-32 digits."""
+    vals = np.unique(subst_np.astype(np.float64))
+    vmin = float(vals[0])
+    diffs = vals[1:] - vmin
+    if diffs.size == 0:
+        return None                      # constant matrix
+    g = 0.0
+    for d in diffs:                      # float gcd (Euclid with tol;
+        a, b = float(d), g               # a % b swaps a < b on entry)
+        while b > 1e-6:
+            a, b = b, a % b
+        g = a
+    if g <= 1e-6:
+        return None
+    k = diffs / g
+    if not np.allclose(k, np.round(k), atol=1e-4):
+        return None
+    if float(np.max(k)) > max_code:
+        return None
+    return vmin, float(g)
+
+
 def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
                         subst, go: float, ge: float, flags: ModeFlags,
                         w_eff=None, A: int = 4, block_b: int = 128,
                         interpret: bool = False, r_chunk: int = _R,
                         with_dirs: bool = False, _strip: int = 0,
-                        _i8win: bool = False, _subst_planes: bool = None):
+                        _i8win: bool = False, _subst_planes: bool = None,
+                        _subst_packed: bool = None):
     """Antidiagonal dual-pair banded DP.
 
     Same contract as :func:`biseqt_tpu.ops.banded_dp.banded_dp`.  By
@@ -534,22 +627,38 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
         # never accumulate score)
         if uniform[1] >= 0:
             uniform = None
-    if _subst_planes is None:
-        # measured crossover (round 4, docs/kernels.md): the A^2 select
-        # chain wins up to mid-size alphabets (A=4: 45.8, A=8: 22.7 vs
-        # planes 15.8 GCUPS); the O(A)-per-step value-plane path wins at
-        # protein scale (A=20: planes 8.4 vs chain 6.2) — fitted
-        # crossover ~A=14
-        subst_planes = uniform is None and A >= 14
+    # general-substitution path choice (measured, docs/kernels.md): the
+    # A^2 select chain wins at small alphabets (A=4: 45.8, A=8: 22.7
+    # GCUPS); at protein scale the O(A)/step paths win — packed planes
+    # (base-32 digit packing, needs an integer-grid matrix) over plain
+    # value planes whenever applicable.
+    grid_pack = _int_grid(subst_np) if uniform is None else None
+    if _subst_packed is None:
+        # an explicit _subst_planes choice (True OR False) pins the
+        # legacy paths — auto-packed must not override a test/probe
+        # that asks for a specific path
+        subst_packed = (uniform is None and grid_pack is not None
+                        and A >= 8 and _subst_planes is None)
     else:
-        subst_planes = bool(_subst_planes) and uniform is None
+        subst_packed = bool(_subst_packed) and uniform is None
+        if subst_packed and grid_pack is None:
+            raise ValueError(
+                "_subst_packed=True needs an integer-grid substitution "
+                "matrix (entries = vmin + g*k, k in [0, 30])")
+    if _subst_planes is None:
+        subst_planes = (uniform is None and not subst_packed and A >= 14)
+    else:
+        subst_planes = (bool(_subst_planes) and uniform is None
+                        and not subst_packed)
+    pv, pg = grid_pack if subst_packed else (0.0, 1.0)
     return _banded_dp_pallas_ad_jit(
         s_codes, t_codes, s_lens, t_lens, dmin,
         jnp.asarray(subst_np), w_eff, W=W, go=float(go), ge=float(ge),
         flags=flags, A=A, block_b=block_b, interpret=interpret,
         uniform=uniform, r_chunk=int(r_chunk), strip=int(_strip),
         with_dirs=bool(with_dirs), i8win=bool(_i8win),
-        subst_planes=subst_planes,
+        subst_planes=subst_planes, subst_packed=subst_packed,
+        pack_vmin=pv, pack_g=pg,
     )
 
 
@@ -557,7 +666,7 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
     jax.jit,
     static_argnames=("W", "go", "ge", "flags", "block_b", "interpret", "A",
                      "uniform", "r_chunk", "strip", "with_dirs", "i8win",
-                     "subst_planes"),
+                     "subst_planes", "subst_packed", "pack_vmin", "pack_g"),
 )
 def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              w_eff, *, W: int, go: float, ge: float,
@@ -565,7 +674,9 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
                              interpret: bool, uniform, r_chunk: int = _R,
                              strip: int = 0, with_dirs: bool = False,
                              i8win: bool = False,
-                             subst_planes: bool = False):
+                             subst_planes: bool = False,
+                             subst_packed: bool = False,
+                             pack_vmin: float = 0.0, pack_g: float = 1.0):
     B, LS = s_codes.shape
     LT = t_codes.shape[1]
     if w_eff is None:
@@ -650,6 +761,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         _kernel, W=W, Apad=Apad, BT=BT, A=A, go=float(go), ge=float(ge),
         flags=flags, uniform=uniform, R=r_chunk, strip=strip,
         with_dirs=with_dirs, i8win=i8win, subst_planes=subst_planes,
+        subst_packed=subst_packed, pack_vmin=pack_vmin, pack_g=pack_g,
     )
     vspec = lambda shape: pl.BlockSpec(
         shape, lambda b: (b, 0), memory_space=pltpu.VMEM

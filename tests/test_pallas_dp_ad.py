@@ -320,3 +320,54 @@ def test_ad_kernel_protein_planes_matches_lax(rng):
                                    err_msg=str(flags))
         np.testing.assert_allclose(chain, ref, atol=1e-2,
                                    err_msg=str(flags))
+
+
+@pytest.mark.slow
+def test_ad_kernel_protein_packed_matches_lax(rng):
+    """A=20 integer-grid substitution through the round-4 PACKED-planes
+    path (base-32 digit packing, exact power-of-two extraction): scores
+    must match the lax oracle exactly, on integer AND half-integer
+    grids; non-grid matrices refuse _subst_packed=True."""
+    from biseqt_tpu.ops.pallas_dp_ad import _int_grid
+
+    A = 20
+    B, L = 4, 120
+    ss = rng.integers(0, A, (B, L)).astype(np.int8)
+    ts = ss.copy()
+    m = rng.random((B, L)) < 0.2
+    ts[m] = (ts[m] + 1 + rng.integers(0, A - 1, m.sum())) % A
+    s_lens = np.array([120, 110, 120, 100], np.int32)
+    t_lens = np.array([118, 120, 105, 120], np.int32)
+    dmin = np.array([-40, -39, -20, -64], np.int32)
+    w_eff = jnp.asarray([100, 127, 64, 120], jnp.int32)
+    args = [jnp.asarray(x) for x in (ss, ts, s_lens, t_lens, dmin)]
+    # integer grid (g=1) and half-integer grid (g=0.5, exercises the
+    # float-gcd grid detection)
+    sub_i = rng.integers(-4, 0, (A, A)).astype(np.float32)
+    sub_i = np.minimum(sub_i, sub_i.T)
+    np.fill_diagonal(sub_i, rng.integers(1, 12, A).astype(np.float32))
+    sub_h = (rng.integers(-8, 0, (A, A)) * 0.5).astype(np.float32)
+    np.fill_diagonal(sub_h, (rng.integers(2, 20, A) * 0.5))
+    assert _int_grid(sub_i) == (-4.0, 1.0)
+    assert _int_grid(sub_h)[1] == 0.5
+    for subst, flags in (
+            (sub_i, ModeFlags(local_start=True, local_end=True)),
+            (sub_i, ModeFlags()),
+            (sub_h, ModeFlags(free_start_edges=True, local_end=True))):
+        kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+                  w_eff=w_eff)
+        ref = np.asarray(banded_dp(*args, **kw).score)
+        packed = np.asarray(banded_dp_pallas_ad(
+            *args, interpret=True, block_b=8, r_chunk=16, A=A,
+            _subst_packed=True, **kw).score)
+        np.testing.assert_allclose(packed, ref, atol=1e-2,
+                                   err_msg=str(flags))
+    # non-grid matrix: explicit packed refuses; auto falls back cleanly
+    sub_f = rng.uniform(-3.0, -0.2, (A, A)).astype(np.float32)
+    np.fill_diagonal(sub_f, rng.uniform(0.5, 2.0, A))
+    assert _int_grid(sub_f) is None
+    with pytest.raises(ValueError):
+        banded_dp_pallas_ad(
+            *args, interpret=True, block_b=8, r_chunk=16, A=A,
+            W=128, subst=sub_f, go=-2.0, ge=-1.0, flags=ModeFlags(),
+            w_eff=w_eff, _subst_packed=True)
