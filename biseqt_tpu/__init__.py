@@ -10,6 +10,7 @@ DP kernel, and mesh-sharded all-vs-all discovery via jax collectives.
 
 __version__ = "0.1.0"
 
+from . import matrices  # noqa: F401
 from . import sequence  # noqa: F401
 from . import stochastics  # noqa: F401
 from . import pw  # noqa: F401
