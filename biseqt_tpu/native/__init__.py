@@ -98,7 +98,8 @@ def _load():
     ]
     lib.bst_traceback_ad_batch.restype = ctypes.c_int
     lib.bst_traceback_ad_batch.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -253,17 +254,17 @@ def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
                        end_i, end_j, mode_flags):
     """Batched traceback over PACKED antidiagonal direction nibbles.
 
-    ``dirs``: [B2, Apad // 2, W] uint8 from the dual-pair AD kernel
+    ``dirs``: [Apad // 2, B2, W] uint8 from the dual-pair AD kernel
     (:func:`biseqt_tpu.ops.pallas_dp_ad.banded_dp_pallas_ad` with
-    ``with_dirs=True``) — pairs (2*b2, 2*b2+1) share plane b2; steps
-    (2r, 2r+1) share byte row r (low/high nibble).
+    ``with_dirs=True``) — ROW-MAJOR: pairs (2*b2, 2*b2+1) share plane
+    COLUMN b2; steps (2r, 2r+1) share byte row r (low/high nibble).
     ``dminq``: per-pair PARITY-ADJUSTED band starts (int32 [B],
     ``dmin + (pair % 2 - dmin) mod 2``).  Returns the same triple as
     :func:`traceback_batch`.
     """
     lib = _load()
     dirs = np.ascontiguousarray(dirs, np.uint8)
-    _, apad, W = dirs.shape
+    apad, b2_cols, W = dirs.shape
     s_codes = np.ascontiguousarray(s_codes, np.int8)
     t_codes = np.ascontiguousarray(t_codes, np.int8)
     i32 = lambda x: np.ascontiguousarray(x, np.int32)
@@ -276,8 +277,10 @@ def traceback_batch_ad(dirs, dminq, s_codes, t_codes, s_lens, t_lens,
     start_i = np.zeros((B,), np.int32)
     start_j = np.zeros((B,), np.int32)
     ops_len = np.zeros((B,), np.int32)
+    assert 2 * b2_cols >= B, (
+        "dirs plane has %d pair columns but %d pairs" % (b2_cols, B))
     rc = lib.bst_traceback_ad_batch(
-        dirs.ctypes.data, apad, W, dminq.ctypes.data,
+        dirs.ctypes.data, apad, b2_cols, W, dminq.ctypes.data,
         s_codes.ctypes.data, s_codes.shape[1],
         t_codes.ctypes.data, t_codes.shape[1],
         s_lens.ctypes.data, t_lens.ctypes.data,

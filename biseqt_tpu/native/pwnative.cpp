@@ -223,16 +223,20 @@ int bst_traceback_batch(const uint8_t* dirs, int rows_cap, int W,
 
 // Traceback over PACKED antidiagonal-layout direction nibbles (the
 // dual-pair Pallas kernel's with_dirs output).  The nibble of cell
-// (i, j) lives in byte dirs[((i + j) / 2) * W + ((i - j) - dminq)] —
-// low nibble for even antidiagonal a = i + j, high nibble for odd —
-// where dminq is the pair's parity-adjusted band start
+// (i, j) lives in byte dirs[((i + j) / 2) * row_stride + ((i - j) -
+// dminq)] — low nibble for even antidiagonal a = i + j, high nibble
+// for odd — where dminq is the pair's parity-adjusted band start
 // (dmin + (pair % 2 - dmin) mod 2); rows_packed = Apad / 2 byte rows
-// cover Apad antidiagonal steps.  The two pairs packed into one plane
-// occupy complementary (a + x) parities, so a walk never reads the
-// other pair's slots.  Same nibble semantics (bits 0-1 H-source, bit 2
-// E-extend, bit 3 F-extend) and boundary handling as bst_traceback.
-int bst_traceback_ad(const uint8_t* dirs, int rows_packed, int W,
-                     int dminq,
+// cover Apad antidiagonal steps.  row_stride is the byte distance
+// between consecutive packed rows: the TPU kernel emits the plane
+// ROW-MAJOR [a/2, b2, x] (full-tile stores), so a pair's plane is a
+// strided column view with row_stride = B2 * W.  The two pairs packed
+// into one plane occupy complementary (a + x) parities, so a walk
+// never reads the other pair's slots.  Same nibble semantics (bits
+// 0-1 H-source, bit 2 E-extend, bit 3 F-extend) and boundary handling
+// as bst_traceback.
+int bst_traceback_ad(const uint8_t* dirs, int rows_packed,
+                     size_t row_stride, int W, int dminq,
                      const int8_t* s, int ls, const int8_t* t, int lt,
                      int end_i, int end_j, int flags,
                      char* ops, int* start_i, int* start_j) {
@@ -245,7 +249,7 @@ int bst_traceback_ad(const uint8_t* dirs, int rows_packed, int W,
         int a = ii + jj, x = (ii - jj) - dminq;
         if (a < 0 || a >= 2 * rows_packed || x < 0 || x >= W)
             return false;
-        uint8_t byte = dirs[(size_t)(a >> 1) * W + x];
+        uint8_t byte = dirs[(size_t)(a >> 1) * row_stride + x];
         *out = (a & 1) ? (uint8_t)(byte >> 4) : (uint8_t)(byte & 0x0F);
         return true;
     };
@@ -284,11 +288,12 @@ int bst_traceback_ad(const uint8_t* dirs, int rows_packed, int W,
     return n;
 }
 
-// Batched AD-layout traceback: pairs (2*b2, 2*b2 + 1) share byte plane
-// b2 of dirs [B2, rows_packed, W] (nibble-packed: rows_packed = Apad/2);
-// dminq / lengths / ends are per PAIR (B of them).  Same outputs as
-// bst_traceback_batch.
-int bst_traceback_ad_batch(const uint8_t* dirs, int rows_packed, int W,
+// Batched AD-layout traceback: pairs (2*b2, 2*b2 + 1) share plane
+// COLUMN b2 of the row-major dirs [rows_packed, b2_cols, W]
+// (nibble-packed: rows_packed = Apad/2); dminq / lengths / ends are
+// per PAIR (B of them).  Same outputs as bst_traceback_batch.
+int bst_traceback_ad_batch(const uint8_t* dirs, int rows_packed,
+                           int b2_cols, int W,
                            const int32_t* dminq,
                            const int8_t* s, int ls_cap,
                            const int8_t* t, int lt_cap,
@@ -300,8 +305,8 @@ int bst_traceback_ad_batch(const uint8_t* dirs, int rows_packed, int W,
     for (int b = 0; b < B; ++b) {
         int si = 0, sj = 0;
         int n = bst_traceback_ad(
-            dirs + (size_t)(b / 2) * rows_packed * W, rows_packed, W,
-            dminq[b],
+            dirs + (size_t)(b / 2) * W, rows_packed,
+            (size_t)b2_cols * W, W, dminq[b],
             s + (size_t)b * ls_cap, s_lens[b],
             t + (size_t)b * lt_cap, t_lens[b],
             end_i[b], end_j[b], flags,

@@ -212,10 +212,14 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         # write, the D2H transfer, and the VMEM staging of the dominant
         # with_dirs cost (~W bytes per DP cell otherwise)
         def dirs_dma(slot, c):
+            # dirs plane is ROW-MAJOR [r, b2, x]; the [R/2, BT, W] chunk
+            # lands at packed rows [c*R/2, (c+1)*R/2), pair cols
+            # [row0, row0+BT) — each row's [BT, W] block is contiguous
             return pltpu.make_async_copy(
                 dbuf.at[slot],
                 dirs_hbm.at[
-                    pl.ds(row0, BT), pl.ds(c * (R // 2), R // 2), :
+                    pl.ds(pl.multiple_of(c * (R // 2), R // 2), R // 2),
+                    pl.ds(row0, BT), :,
                 ],
                 sems.at[slot, 2],
             )
@@ -258,7 +262,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         def _():
             start_dma(1 - slot, c + 1)
 
-        if with_dirs and strip != 12:
+        if with_dirs and strip not in (12, 14):
             # the slot's previous dirs write-out must have landed before
             # this chunk overwrites dbuf[slot]
             @pl.when(c >= 2)
@@ -419,7 +423,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 # direction byte (same bit semantics as the row kernel /
                 # lax engine: bits 0-1 H-source 0=stop/1=diag/2=E/3=F,
                 # bit 2 E-extend, bit 3 F-extend), in the ANTIDIAGONAL
-                # layout dirs[b2, a, x]: cell (i, j) of pair p sits at
+                # layout dirs[a, b2, x] (row-major): cell (i, j) of pair p sits at
                 # a = i+j, x = (i-j) - dmin'_p.  Every (a, x) slot
                 # belongs to exactly ONE pair (all walk moves preserve
                 # (a + x) mod 2), so the two packed pairs share the byte
@@ -447,7 +451,8 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
                 elif r % 2 == 0:
                     nib = byte
                 else:
-                    dbuf[slot, :, r // 2, :] = (
+                    # full-tile aligned [BT, W] store (row-major dbuf)
+                    dbuf[slot, r // 2, :, :] = (
                         nib + 16.0 * byte
                     ).astype(jnp.int32).astype(jnp.uint8)
             H_new = H_new + (
@@ -497,7 +502,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
             H2 = H1
             H1 = H_new
         if with_dirs:
-            if strip != 12:
+            if strip not in (12, 14):
                 dirs_dma(slot, c).start()
             return (H2, H1, E, F, Ma, Mb, Aa, Ab)
         return (H2, H1, E, F, Ma, Mb)
@@ -510,7 +515,7 @@ def _kernel(dmin0_ref, dmin1_ref, lo0_ref, lo1_ref, hi0_ref, hi1_ref,
         out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
         Ma, Mb, Aa, Ab = out[4], out[5], out[6], out[7]
         # drain the last two dirs write-outs
-        if strip != 12:
+        if strip not in (12, 14):
             if n_chunks >= 2:
                 dirs_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
             dirs_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
@@ -602,12 +607,15 @@ def banded_dp_pallas_ad(s_codes, t_codes, s_lens, t_lens, dmin, *, W: int,
     default score-only (``dirs`` is a 0-size array; ``end_i``/``end_j``
     are -1 sentinels).  With ``with_dirs=True`` the kernel additionally
     streams direction nibbles to HBM in the **packed antidiagonal
-    layout** ``dirs[b2, a // 2, x]`` — tile row ``b2`` holds pairs
+    layout** ``dirs[a // 2, b2, x]`` — plane column ``b2`` holds pairs
     ``(2 b2, 2 b2+1)``, cell (i, j) of pair p sits at step ``a = i+j``,
     lane ``x = (i-j) - dmin'_p`` with ``dmin'_p`` the parity-adjusted
     band start (``dmin + (p - dmin) % 2``), and steps ``2r``/``2r+1``
     occupy the low/high nibble of byte row ``r`` (halving the dirs
-    plane's HBM + D2H traffic) — walk it with
+    plane's HBM + D2H traffic).  The packed-row dimension is MAJOR so
+    the kernel's per-row store is a whole aligned [BT, W] u8 tile
+    (pair-major planes forced masked single-sublane stores — measured
+    ~47 ms/batch at B=4096, the entire dirs-vs-score gap).  Walk it with
     :func:`biseqt_tpu.native.traceback_batch_ad`.  ``end_i``/``end_j``
     are then real per-pair end cells.  Requires ``w_eff <= W - 1`` (one
     lane of slack absorbs the per-pair parity adjustment of dmin).
@@ -789,8 +797,13 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         ]
         assert r_chunk % 2 == 0, "nibble-packed dirs need an even r_chunk"
         out_shape = out_shape + [
-            # nibble-packed: steps (2r, 2r+1) share byte row r (low/high)
-            jax.ShapeDtypeStruct((Bp2, Apad // 2, W), jnp.uint8),
+            # nibble-packed: steps (2r, 2r+1) share byte row r (low/high).
+            # ROW-MAJOR layout [r, b2, x]: the in-kernel store then writes
+            # a full [BT, W] u8 tile per packed row — the pair-major
+            # [b2, r, x] layout's [BT, 1, W] stores were masked
+            # partial-tile writes costing ~47 ms/batch at B=4096, the
+            # entire dirs-vs-score gap (round-4 strip-14 attribution)
+            jax.ShapeDtypeStruct((Apad // 2, Bp2, W), jnp.uint8),
             jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
             jax.ShapeDtypeStruct((Bp2, W), jnp.float32),
             jax.ShapeDtypeStruct((Bp2, W), jnp.int32),
@@ -798,7 +811,10 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         ]
         scratch = [
             scratch[0], scratch[1],
-            pltpu.VMEM((2, BT, r_chunk // 2, W), jnp.uint8),  # dirs buffer
+            # row-major staging: store target dbuf[slot, r] is a whole
+            # aligned [BT, W] tile (BT = 128 sublanes = 4 full (32, 128)
+            # u8 tiles), not a masked single-sublane write
+            pltpu.VMEM((2, r_chunk // 2, BT, W), jnp.uint8),  # dirs buffer
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
     out = pl.pallas_call(

@@ -118,14 +118,14 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
     def start_dma(slot, c):
         base = pl.multiple_of(c * RC, RC)
         pltpu.make_async_copy(
-            dirs_hbm.at[pl.ds(row0, BT), pl.ds(base, RC), :],
+            dirs_hbm.at[pl.ds(base, RC), pl.ds(row0, BT), :],
             dbuf.at[slot], sems.at[slot],
         ).start()
 
     def wait_dma(slot, c):
         base = pl.multiple_of(c * RC, RC)
         pltpu.make_async_copy(
-            dirs_hbm.at[pl.ds(row0, BT), pl.ds(base, RC), :],
+            dirs_hbm.at[pl.ds(base, RC), pl.ds(row0, BT), :],
             dbuf.at[slot], sems.at[slot],
         ).wait()
 
@@ -223,7 +223,7 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
             start_dma(1 - slot, c - 1)
 
         wait_dma(slot, c)
-        chunk = dbuf[slot].astype(jnp.int32)      # [BT, RC, W]
+        chunk = dbuf[slot].astype(jnp.int32)      # [RC, BT, W]
         lo = chunk & 15
         # high nibble without a vector shift (Mosaic has no vector shl,
         # and shr is equally unsupported): exact for byte values via f32
@@ -247,7 +247,7 @@ def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
             wv = wv_by_par[rr % 2]
             w = 1 << (2 * (rr % 4))   # 2-bit field (rr % 4) of the byte
             for g in range(G):
-                nib_row = (hi if q else lo)[g * GB:(g + 1) * GB, r, :]
+                nib_row = (hi if q else lo)[r, g * GB:(g + 1) * GB, :]
                 A, X, I, J, ST, acc0, acc1 = gs[g]
                 # parity slot p owns lanes with (a + x) % 2 == p; both
                 # slots act at every a, on complementary lanes — one
@@ -329,8 +329,9 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
                     _strip: int = 0):
     """Walk all pairs' tracebacks on device over the packed dirs plane.
 
-    Args: ``dirs`` [B2, Rp, W] uint8 (the AD kernel's nibble-packed
-    plane), ``dminq`` the parity-adjusted band starts [B], ``end_i`` /
+    Args: ``dirs`` [Rp, B2, W] uint8 (the AD kernel's row-major
+    nibble-packed plane), ``dminq`` the parity-adjusted band starts
+    [B], ``end_i`` /
     ``end_j`` [B] end cells (pass -1 to skip a pair).  B = 2 * B2,
     pair b on plane b // 2, parity slot b % 2.
 
@@ -341,7 +342,7 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     compactor's job).  Feed to
     :func:`biseqt_tpu.native.compact_sweep_ops`.
     """
-    B2, Rp, Wd = dirs.shape
+    Rp, B2, Wd = dirs.shape          # row-major plane [a // 2, b2, x]
     assert Wd == W and W % 128 == 0
     B = dminq.shape[0]        # may be < 2*B2 (the DP kernel pads planes)
     assert B <= 2 * B2 and end_i.shape == (B,) and end_j.shape == (B,)
@@ -359,7 +360,7 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     RC = 1 << (RC.bit_length() - 1)
     Rpp = _round_up(Rp, RC)
     if Rpp != Rp:
-        dirs = jnp.pad(dirs, ((0, 0), (0, Rpp - Rp), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, Rpp - Rp), (0, 0), (0, 0)))
     # trace bytes per plane row (4 steps/byte), padded to whole
     # 128-byte flush groups
     TRb = _round_up(Rpp // 2, 128)
@@ -372,7 +373,7 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     BT = block_b * G
     Bp2 = _round_up(B2, BT)
     if Bp2 != B2:
-        dirs = jnp.pad(dirs, ((0, Bp2 - B2), (0, 0), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, 0), (0, Bp2 - B2), (0, 0)))
 
     def prep(v, fill):
         v = v.astype(jnp.int32)
@@ -404,7 +405,7 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
             jax.ShapeDtypeStruct((Bp2, TRb), jnp.uint8),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BT, RC, W), jnp.uint8),       # dirs chunks
+            pltpu.VMEM((2, RC, BT, W), jnp.uint8),       # dirs chunks
             pltpu.VMEM((2, BT, 128), jnp.uint8),         # trace groups
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -6,6 +6,8 @@ Strip codes (diagnostics only — bytes are wrong under 10-13):
   11 no H-source select chain (2 cmp + 2 selects saved)
   12 no nibble pack / dbuf store / dirs DMA
   13 no per-lane step-of-max (Aa/Ab)
+  14 pack + dbuf store but no dirs DMA (splits 12's attribution
+     between the VMEM store and the HBM write-out)
 
 Usage: python experiments/dirs_probe.py [--quick]
 """

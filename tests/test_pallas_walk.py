@@ -196,7 +196,7 @@ def test_device_walk_empty_plane():
     for B2, Rp in ((3, 0), (0, 0)):
         B = 2 * B2
         tr0, tr1, fi, fj = traceback_sweep(
-            jnp.zeros((B2, Rp, 128), jnp.uint8),
+            jnp.zeros((Rp, B2, 128), jnp.uint8),
             jnp.zeros((B,), jnp.int32),
             jnp.full((B,), 5, jnp.int32), jnp.full((B,), 7, jnp.int32),
             W=128, block_b=8, interpret=True)
