@@ -22,7 +22,7 @@ from typing import Callable, Dict, Iterable, List, Optional
 
 import numpy as np
 
-from .sequence import Alphabet, NamedSequence, Sequence
+from .sequence import Alphabet, NamedSequence, Sequence, _mapping_table
 
 __all__ = ["DB", "Record", "read_fasta", "write_fasta"]
 
@@ -198,13 +198,19 @@ class DB:
         return rec
 
     def load_fasta(self, path_or_file, num: int = -1, rc: bool = False,
-                   source_file: str = None) -> List[Record]:
+                   source_file: str = None,
+                   complement_map=None) -> List[Record]:
         """Ingest a FASTA file; optionally also insert reverse complements.
 
         ``rc=True`` mirrors the reference's option of storing each record's
         reverse complement (attrs carry ``rc_of`` pointing at the forward
-        record's content id).  DNA-complement mapping ['AT', 'CG'] is
-        assumed for rc.
+        record's content id).  The complement defaults to the DNA mapping
+        ``['AT', 'CG']``; alphabets without all of A/T/C/G (protein,
+        DNA-with-ambiguity-codes) must pass ``complement_map=`` explicitly
+        (same formats as :meth:`Alphabet.transform` mappings; letters not
+        named map to themselves, so e.g. ``['AT', 'CG']`` on an ACGTN
+        alphabet keeps N fixed).  A default map that references letters
+        missing from the alphabet raises ValueError up front.
 
         Whole-file ingests of a path go through the C++ streaming packer
         (:func:`biseqt_tpu.native.fasta_pack`) when the native library is
@@ -218,11 +224,14 @@ class DB:
         """
         if source_file is None and isinstance(path_or_file, str):
             source_file = path_or_file
+        if rc:
+            complement_map = self._validated_complement_map(complement_map)
         if isinstance(path_or_file, str) and num < 0:
             # (num-limited loads keep the lazy Python reader so a bad
             # letter BEYOND the requested records does not raise — the
             # native scan validates the whole file up front)
-            out = self._load_fasta_native(path_or_file, rc, source_file)
+            out = self._load_fasta_native(
+                path_or_file, rc, source_file, complement_map)
             if out is not None:
                 return out
         out = []
@@ -232,7 +241,7 @@ class DB:
                 out.append(rec)
             if rc:
                 rcseq = seq.reverse().transform(
-                    ["AT", "CG"], name="(rc of %s)" % seq.name
+                    complement_map, name="(rc of %s)" % seq.name
                 )
                 rrec = self.insert(
                     rcseq, source_file=source_file, source_pos=pos,
@@ -242,8 +251,37 @@ class DB:
                     out.append(rrec)
         return out
 
-    def _load_fasta_native(self, path: str, rc: bool,
-                           source_file: str) -> Optional[List[Record]]:
+    def _validated_complement_map(self, complement_map):
+        """Resolve the rc complement mapping, failing loudly up front.
+
+        A missing-letter default used to surface as a bare KeyError from
+        ``_mapping_table`` three frames down, AFTER forward records were
+        already inserted — validate before any insert instead.
+        """
+        if complement_map is None:
+            missing = [
+                ch for ch in "ATCG" if ch not in self.alphabet._index
+            ]
+            if missing:
+                raise ValueError(
+                    "rc=True uses the default DNA complement ['AT', 'CG'] "
+                    "but alphabet %r lacks letter(s) %s — pass "
+                    "complement_map= (e.g. a list of symmetric letter "
+                    "pairs) for this alphabet"
+                    % (self.alphabet, "/".join(missing)))
+            return ["AT", "CG"]
+        # user-provided maps are validated by materializing the table
+        # once (errors here name the offending letter/code)
+        try:
+            _mapping_table(self.alphabet, complement_map)
+        except (KeyError, AssertionError) as e:
+            raise ValueError(
+                "complement_map %r is not valid for alphabet %r: %s"
+                % (complement_map, self.alphabet, e))
+        return complement_map
+
+    def _load_fasta_native(self, path: str, rc: bool, source_file: str,
+                           complement_map=None) -> Optional[List[Record]]:
         """C++-packer ingest tier; None = fall back to the Python reader
         (multi-char/non-ASCII alphabet, or the .so is unavailable)."""
         lut = self.alphabet._byte_lut()
@@ -273,7 +311,7 @@ class DB:
                 out.append(rec)
             if rc:
                 rcseq = seq.reverse().transform(
-                    ["AT", "CG"], name="(rc of %s)" % seq.name
+                    complement_map, name="(rc of %s)" % seq.name
                 )
                 rrec = self.insert(
                     rcseq, source_file=source_file, source_pos=pos,

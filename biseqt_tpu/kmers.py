@@ -41,10 +41,16 @@ def kmer_as_int(contents, alphabet: Alphabet) -> int:
 def as_kmer_seq(seq: Sequence, wordlen: int) -> List[int]:
     """All overlapping k-mers of ``seq`` as packed integers (host tier).
 
-    Contract parity with ``biseqt/kmers.py — as_kmer_seq``.  The device tier
-    (:func:`ops.tables.kmer_keys`) computes the same values vectorized.
+    Contract parity with ``biseqt/kmers.py — as_kmer_seq``.  Vectorized
+    on :func:`as_kmer_keys_np` (a genome-scale ``KmerCache`` fill was
+    seconds-to-minutes with the per-letter loop; the numpy path is
+    ~1000x); keys too wide for int64 (|Σ|**wordlen >= 2**63, e.g. DNA
+    wordlen >= 32) fall back to the exact Python-int rolling loop.
     """
-    n = len(alphabet := seq.alphabet)
+    n = len(seq.alphabet)
+    if n ** wordlen < 2 ** 63:
+        # Sequence codes are validated non-negative, so no -1 windows
+        return as_kmer_keys_np(seq.to_array(), wordlen, n).tolist()
     out = []
     val = 0
     mod = n ** wordlen
@@ -66,17 +72,28 @@ def as_kmer_keys_np(codes: np.ndarray, wordlen: int,
     ``len(codes) - wordlen + 1`` (empty if the sequence is shorter than
     ``wordlen``).
     """
-    codes = np.asarray(codes, np.int64)
+    codes = np.asarray(codes)
     m = codes.shape[0] - int(wordlen) + 1
     if m <= 0:
         return np.empty(0, np.int64)
     key = np.zeros(m, np.int64)
+    has_neg = codes.size and int(codes.min()) < 0
+    if not has_neg:
+        # hot path (validated Sequence codes are never negative):
+        # two in-place passes per position — the allocating
+        # maximum/where version measured ~4x slower at genome scale
+        for t in range(int(wordlen)):
+            key *= alphabet_len
+            key += codes[t:t + m]
+        return key
     bad = np.zeros(m, bool)
     for t in range(int(wordlen)):
         cc = codes[t:t + m]
-        key = key * alphabet_len + np.maximum(cc, 0)
+        key *= alphabet_len
+        key += np.maximum(cc, 0)
         bad |= cc < 0
-    return np.where(bad, -1, key)
+    key[bad] = -1
+    return key
 
 
 class KmerIndex:
@@ -324,6 +341,13 @@ class KmerCache:
         f = self._file(seq)
         if os.path.exists(f):
             return np.load(f)
-        out = np.asarray(as_kmer_seq(seq, self.wordlen), dtype=np.int64)
+        if len(self.alphabet) ** self.wordlen < 2 ** 63:
+            # straight to the vectorized array tier — the module-level
+            # as_kmer_seq's list materialization costs more at genome
+            # scale than the packing itself
+            out = as_kmer_keys_np(
+                seq.to_array(), self.wordlen, len(self.alphabet))
+        else:
+            out = np.asarray(as_kmer_seq(seq, self.wordlen), dtype=np.int64)
         np.save(f, out)
         return out

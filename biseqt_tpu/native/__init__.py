@@ -31,6 +31,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libpwnative.so")
 _lib = None
 
+# Must match bst_abi_version() in pwnative.cpp.  The argtypes tables
+# below describe THIS version's signatures; loading a .so built from an
+# older source would shift pointer arguments (silent memory
+# corruption), so _load() hard-fails on mismatch instead of warning.
+_ABI_VERSION = 1
+
 
 def _build():
     subprocess.run(
@@ -74,6 +80,18 @@ def _load():
                 "pwnative.cpp is newer than libpwnative.so and rebuilding"
                 " failed; loading the existing .so anyway", RuntimeWarning)
     lib = ctypes.CDLL(_SO)
+    # ABI gate BEFORE any argtypes are trusted: a stale .so with an
+    # older exported-signature set must never be called through the
+    # current ctypes tables (shifted pointer args corrupt memory).
+    try:
+        so_abi = int(lib.bst_abi_version())
+    except AttributeError:
+        so_abi = 0  # pre-versioning binary
+    if so_abi != _ABI_VERSION:
+        raise RuntimeError(
+            "libpwnative.so ABI version %d does not match the binding's"
+            " expected %d — rebuild it (`make -C %s`)"
+            % (so_abi, _ABI_VERSION, _HERE))
     lib.bst_align.restype = ctypes.c_int
     lib.bst_align.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,

@@ -37,6 +37,14 @@ enum ModeFlags {
 
 extern "C" {
 
+// ABI version — bump on ANY exported-signature change.  The ctypes
+// binding hard-fails on mismatch: loading a stale prebuilt .so against
+// a newer argtypes table shifts every subsequent pointer argument
+// (silent memory corruption), which a RuntimeWarning cannot prevent.
+// History: 1 = round-4 layout (bst_traceback_ad_batch b2_cols,
+// bst_traceback_ad row_stride).
+int bst_abi_version() { return 1; }
+
 // Banded (or full: dmin=-lt, dmax=ls) affine-gap DP.
 // dirs: optional output, (ls x W) bytes with W = dmax - dmin + 1 (row i
 // stored at (i-1)*W); pass nullptr for score-only.

@@ -188,3 +188,32 @@ def test_find_sql_condition():
     out = list(db.find(sql_condition="length > 10"))
     assert len(out) == 1
     assert out[0].attrs["name"] == "chr1"
+
+
+def test_load_fasta_rc_requires_complement_letters():
+    # default ['AT','CG'] map on an alphabet missing T: descriptive
+    # ValueError BEFORE any record is inserted (used to be a bare
+    # KeyError three frames down, after forward inserts)
+    db = DB(":memory:", Alphabet("ACGU"))
+    with pytest.raises(ValueError, match="lacks letter"):
+        db.load_fasta(io.StringIO(">a\nACGU\n"), rc=True)
+    assert len(db) == 0
+    # explicit complement_map unblocks non-DNA alphabets
+    recs = db.load_fasta(io.StringIO(">a\nAACG\n"), rc=True,
+                         complement_map=["AU", "CG"])
+    assert len(recs) == 2
+    assert str(db.load_from_record(recs[1])) == "CGUU"
+    # invalid explicit map: ValueError naming the map, nothing inserted
+    db2 = DB(":memory:", A4)
+    with pytest.raises(ValueError, match="complement_map"):
+        db2.load_fasta(io.StringIO(">a\nAACG\n"), rc=True,
+                       complement_map=["AZ"])
+    assert len(db2) == 0
+
+
+def test_load_fasta_rc_keeps_unmapped_letters_fixed():
+    # ACGTN alphabet: default map is valid (N self-maps, coordinates
+    # keep their meaning)
+    db = DB(":memory:", Alphabet("ACGTN"))
+    recs = db.load_fasta(io.StringIO(">a\nACGTN\n"), rc=True)
+    assert str(db.load_from_record(recs[1])) == "NACGT"

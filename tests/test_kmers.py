@@ -181,3 +181,29 @@ def test_mask_repetitive_persists_to_snapshot(tmp_path):
     assert removed > 0
     idx2 = KmerIndex(4, A4, path=p)
     assert idx2.num_kmers == idx.num_kmers, "snapshot kept masked table"
+
+
+def test_as_kmer_keys_np_negative_and_edge_windows():
+    from biseqt_tpu.kmers import as_kmer_keys_np
+    # windows touching a negative (ambiguity/PAD) code come back -1
+    c = np.array([0, 1, -1, 2, 3, 0, 1, 2], np.int64)
+    got = as_kmer_keys_np(c, 3, 4).tolist()
+    assert got == [-1, -1, -1, 2 * 16 + 3 * 4 + 0, 3 * 16 + 0 * 4 + 1,
+                   0 * 16 + 1 * 4 + 2]
+    # shorter than wordlen -> empty
+    assert as_kmer_keys_np(np.array([1, 2], np.int8), 3, 4).size == 0
+    # int8 input takes the in-place hot path; values match int64 input
+    c8 = np.array([3, 0, 2, 1, 3, 3], np.int8)
+    assert as_kmer_keys_np(c8, 4, 4).tolist() == \
+        as_kmer_keys_np(c8.astype(np.int64), 4, 4).tolist()
+
+
+def test_as_kmer_seq_wide_wordlen_fallback():
+    # |alphabet|**wordlen >= 2**63 exercises the exact Python-int tier;
+    # check it against kmer_as_int directly (2-letter alphabet, k=63)
+    A2 = Alphabet("01")
+    s = Sequence(A2, np.array([1] + [0] * 64, np.int8))
+    ks = as_kmer_seq(s, 63)
+    assert len(ks) == 3
+    assert ks[0] == 2 ** 62
+    assert ks[1] == 0 and ks[2] == 0

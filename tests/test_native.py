@@ -169,3 +169,27 @@ def test_aligner_native_backend_matches_lax(rng):
             assert tx_nat.calculate_score(
                 a_nat.subst_scores, -2.0, -1.0
             ) == pytest.approx(s_lax, abs=1e-3)
+
+
+def test_abi_version_gate():
+    """The loader hard-fails on an ABI mismatch instead of warning.
+
+    A stale .so called through newer ctypes argtypes shifts every
+    pointer argument — silent memory corruption — so _load() must
+    refuse, not warn (round-4 advisor finding).
+    """
+    import ctypes
+    import biseqt_tpu.native as native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    lib = ctypes.CDLL(native._SO)
+    assert int(lib.bst_abi_version()) == native._ABI_VERSION
+    # simulate a stale binary: expect a hard RuntimeError, not a warning
+    old_lib, old_ver = native._lib, native._ABI_VERSION
+    try:
+        native._lib = None
+        native._ABI_VERSION = old_ver + 1
+        with pytest.raises(RuntimeError, match="ABI version"):
+            native._load()
+    finally:
+        native._lib, native._ABI_VERSION = old_lib, old_ver
