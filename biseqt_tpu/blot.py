@@ -774,6 +774,61 @@ class WordBlotMultiple:
             (n / K) ** (1.0 / (self.wordlen * n_other)), 0.0, 1.0
         ))
 
+    def score_seeds(self, K: int) -> List[Dict]:
+        """Per-seed local match-probability estimates (N-way analog of
+        the pairwise ``WordBlot.score_seeds``, ``biseqt/blot.py —
+        WordBlotMultiple`` [med] per SURVEY §2).
+
+        Each N-way seed (a position tuple) is bucketed by its diagonal
+        tuple (cell size = band radius per axis) and antidiagonal cell;
+        its neighborhood count is the number of seeds within ±1 cell
+        along EVERY axis, and p̂ takes the ``1/((N-1) w)``-th root of
+        the neighborhood density (an N-way seed must survive in all N
+        sequences, so density ~ p^((N-1) w)).
+        """
+        seeds = self.seed_index.seeds()
+        if not seeds:
+            return []
+        r = max(self.band_radius(K), 1)
+        acell = max(2 * K, 2)
+        # cell key per seed: (N-1 diagonal cells, antidiagonal cell)
+        cells = []
+        counts: Dict[tuple, int] = {}
+        for tup in seeds:
+            i0 = tup[0]
+            key = tuple((i0 - p) // r for p in tup[1:]) + ((i0 + tup[1]) // acell,)
+            cells.append(key)
+            counts[key] = counts.get(key, 0) + 1
+        # neighborhood = 3^N cells; N is small (3-5), seed counts modest
+        import itertools
+
+        n_axes = len(cells[0])
+        offsets = list(itertools.product((-1, 0, 1), repeat=n_axes))
+        neigh_cache: Dict[tuple, int] = {}
+
+        def neighborhood(key):
+            got = neigh_cache.get(key)
+            if got is None:
+                got = sum(
+                    counts.get(tuple(k + o for k, o in zip(key, off)), 0)
+                    for off in offsets
+                )
+                neigh_cache[key] = got
+            return got
+
+        # same window-column calibration as the pairwise score_seeds:
+        # the 3-cell a-neighborhood spans ~3K alignment columns
+        seg_cols = min(3 * acell / 2.0,
+                       float(min(len(s) for s in self.seqs)))
+        w_eff = self.wordlen * (len(self.seqs) - 1)
+        out = []
+        for tup, key in zip(seeds, cells):
+            n = neighborhood(key)
+            p = float(np.clip((n / seg_cols) ** (1.0 / w_eff), 0.0, 1.0))
+            out.append({"seed": tuple(int(x) for x in tup),
+                        "neighs": int(n), "p": p})
+        return out
+
     def similar_segments(self, K_min: int, p_min: float,
                          min_score: float = 25.0) -> Iterable[Dict]:
         """Cluster N-way seeds by their diagonal tuple + antidiagonal cell.

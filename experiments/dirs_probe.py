@@ -1,7 +1,8 @@
 """Dirs-body census probe (VERDICT r3 #1): strip-run attribution of the
 with_dirs extras in the AD kernel, plus sweep-walk kernel timing.
 
-Strip codes (diagnostics only — bytes are wrong under 10-13):
+Strip codes (diagnostics only — bytes are wrong under 10-14; 14 skips
+the dirs DMA so its HBM plane is never written):
   10 no e4/f8 gap-extend flags (2 cmp+where + 2 rolls saved)
   11 no H-source select chain (2 cmp + 2 selects saved)
   12 no nibble pack / dbuf store / dirs DMA

@@ -293,3 +293,33 @@ def test_score_seeds(rng):
     core_p = [s["p"] for s in scored if 200 <= s["seed"][0] < 500]
     bg_p = [s["p"] for s in scored if s["seed"][0] < 150]
     assert core_p and np.mean(core_p) > (np.mean(bg_p) if bg_p else 0.3)
+
+
+def test_wordblot_multiple_score_seeds(rng):
+    """N-way per-seed scoring: seeds inside a planted 3-way block score
+    high p-hat; background-soup seeds (unrelated flanks) score low."""
+    core = rand_seq(A4, 300, rng=rng)
+    M = MutationProcess(A4, subst_probs=0.03, go_prob=0.01, ge_prob=0.05,
+                        rng=rng)
+    seqs = []
+    for _ in range(3):
+        mut, _ = M.mutate(core)
+        seqs.append(
+            rand_seq(A4, 100, rng=rng) + mut + rand_seq(A4, 100, rng=rng)
+        )
+    wbm = WordBlotMultiple(*seqs, wordlen=6, g_max=0.15)
+    scored = wbm.score_seeds(K=80)
+    assert scored, "no N-way seeds scored"
+    # every entry mirrors the pairwise contract shape
+    for s in scored[:5]:
+        assert len(s["seed"]) == 3
+        assert s["neighs"] >= 1
+        assert 0.0 <= s["p"] <= 1.0
+    # seeds whose pivot position lies in the planted core [100, 400)
+    # must out-score any background seed
+    inside = [s["p"] for s in scored if 100 <= s["seed"][0] < 400]
+    outside = [s["p"] for s in scored if not (100 <= s["seed"][0] < 400)]
+    assert inside, "no seeds found inside the planted block"
+    assert float(np.median(inside)) > 0.5
+    if outside:
+        assert float(np.median(inside)) > float(np.median(outside))
