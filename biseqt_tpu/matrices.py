@@ -26,7 +26,9 @@ import numpy as np
 
 from .sequence import Alphabet
 
-__all__ = ["PROTEIN_LETTERS", "protein_alphabet", "BLOSUM62", "PAM250"]
+__all__ = ["PROTEIN_LETTERS", "protein_alphabet", "BLOSUM62", "PAM250",
+           "DAYHOFF6_GROUPS", "MURPHY10_GROUPS", "compression_map",
+           "reduced_alphabet", "reduced_matrix"]
 
 #: Canonical residue order used by both matrices.
 PROTEIN_LETTERS = "ARNDCQEGHILKMFPSTWYV"
@@ -87,6 +89,75 @@ PAM250 = np.array([
     [ -3, -4, -2, -4,  0, -4, -4, -5,  0, -1, -1, -4, -2,  7, -5, -3, -3,  0, 10, -2],  # Y
     [  0, -2, -2, -2, -2, -2, -2, -1, -2,  4,  2, -2,  2, -1, -1, -1,  0, -6, -2,  4],  # V
 ], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Reduced alphabets (round 5): the filter tier of the two-tier protein
+# search.  The flagship kernel's packed-planes substitution path costs
+# O(ceil(A/4)) vector selects per DP step (docs/kernels.md "General
+# substitution at protein scale"), so compressing A=20 -> 6 or 10 groups
+# buys a 5-planes -> 2-or-3-planes filter pass; survivors are rescored
+# with the full matrix.  Reference contract: ``pwlib — alnscores``
+# serves any matrix; the two-tier path recovers its effective protein
+# throughput on TPU (see biseqt_tpu/protein.py).
+# ---------------------------------------------------------------------------
+
+#: Dayhoff (1978) six chemical groups: small, cysteine, acid/amide,
+#: aromatic, basic, hydrophobic.
+DAYHOFF6_GROUPS = ("AGPST", "C", "DENQ", "FWY", "HKR", "ILMV")
+
+#: Murphy, Wang & Thirumalai (2000) ten-group BLOSUM-clustered reduction.
+MURPHY10_GROUPS = ("LVIM", "C", "A", "G", "S", "T", "P", "FYW", "EDNQ",
+                   "KRH")
+
+
+def _check_partition(groups) -> None:
+    joined = "".join(groups)
+    if sorted(joined) != sorted(PROTEIN_LETTERS):
+        raise ValueError(
+            "groups must partition the 20 amino acids exactly; got %r"
+            % (groups,))
+
+
+def compression_map(groups=DAYHOFF6_GROUPS) -> np.ndarray:
+    """int8 [20] table mapping a full protein letter code (row index of
+    :data:`BLOSUM62`, i.e. :func:`protein_alphabet` codes) to its group
+    code.  Apply with ``np.where(codes < 0, codes, cmap[codes])`` so PAD
+    sentinels pass through."""
+    _check_partition(groups)
+    cmap = np.empty(len(PROTEIN_LETTERS), np.int8)
+    for g, members in enumerate(groups):
+        for ch in members:
+            cmap[PROTEIN_LETTERS.index(ch)] = g
+    return cmap
+
+
+def reduced_alphabet(groups=DAYHOFF6_GROUPS) -> Alphabet:
+    """Alphabet whose letter g is group g's first member (all standard
+    groupings have distinct first letters)."""
+    _check_partition(groups)
+    firsts = [g[0] for g in groups]
+    if len(set(firsts)) != len(firsts):
+        raise ValueError("group first letters must be distinct: %r"
+                         % (firsts,))
+    return Alphabet("".join(firsts))
+
+
+def reduced_matrix(subst=None, groups=DAYHOFF6_GROUPS) -> np.ndarray:
+    """Group-level substitution matrix: entry (g, h) is the mean of
+    ``subst`` over member pairs, rounded to the nearest integer so the
+    kernel's integer-grid packed-planes detection still fires.  Default
+    ``subst`` is :data:`BLOSUM62`."""
+    if subst is None:
+        subst = BLOSUM62
+    _check_partition(groups)
+    G = len(groups)
+    idx = [[PROTEIN_LETTERS.index(ch) for ch in g] for g in groups]
+    out = np.empty((G, G), np.float32)
+    for g in range(G):
+        for h in range(G):
+            out[g, h] = np.mean(subst[np.ix_(idx[g], idx[h])])
+    return np.round(out).astype(np.float32)
 
 
 def _validate():
