@@ -17,7 +17,8 @@ import numpy as np
 __all__ = [
     "available", "align", "traceback", "traceback_batch",
     "traceback_batch_ad", "traceback_ad_window_batch",
-    "compact_sweep_ops", "fasta_pack", "dna_code_map",
+    "compact_sweep_ops", "compact_sweep_ops_t", "fasta_pack",
+    "dna_code_map",
     "MODE_FREE_START_EDGES", "MODE_LOCAL_START",
     "MODE_FREE_END_EDGES", "MODE_LOCAL_END",
 ]
@@ -35,7 +36,7 @@ _lib = None
 # below describe THIS version's signatures; loading a .so built from an
 # older source would shift pointer arguments (silent memory
 # corruption), so _load() hard-fails on mismatch instead of warning.
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 
 def _build():
@@ -135,6 +136,14 @@ def _load():
     lib.bst_compact_sweep_batch.restype = ctypes.c_int
     lib.bst_compact_sweep_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bst_compact_sweep_batch_t.restype = ctypes.c_int
+    lib.bst_compact_sweep_batch_t.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -415,6 +424,59 @@ def compact_sweep_ops(trace0, trace1, fin_i, fin_j, s_codes, t_codes,
     # anchored modes prepend D^i I^j tails, so the reported start is
     # (0, 0) — matching bst_traceback_ad's post-tail cursor (the raw
     # fin_* is the PRE-tail walk stop); skipped pairs keep -1
+    f = _flags_of(mode_flags)
+    anchored = not (f & (MODE_LOCAL_START | MODE_FREE_START_EDGES))
+    si = fin_i[:B].copy()
+    sj = fin_j[:B].copy()
+    if anchored:
+        live = si >= 0
+        si[live] = 0
+        sj[live] = 0
+    return ops, si, sj
+
+
+def compact_sweep_ops_t(trace, fin_i, fin_j, s_codes, t_codes,
+                        mode_flags):
+    """Turn LANE-PACKED sweep traces into MSID transcripts.
+
+    ``trace``: [2, Atr, B2cols] uint8 from
+    :func:`biseqt_tpu.ops.pallas_walk.traceback_sweep_t` (pair b owns
+    COLUMN b // 2 of plane b % 2); ``fin_i`` / ``fin_j``: the walk's
+    final cursor [B] (-1 = skipped pair).  Returns the same
+    ``(ops list[str], start_i, start_j)`` triple as
+    :func:`compact_sweep_ops`.
+    """
+    lib = _load()
+    trace = np.ascontiguousarray(trace, np.uint8)
+    assert trace.ndim == 3 and trace.shape[0] == 2, trace.shape
+    _, atr, b2_cols = trace.shape
+    s_codes = np.ascontiguousarray(s_codes, np.int8)
+    t_codes = np.ascontiguousarray(t_codes, np.int8)
+    fin_i = np.ascontiguousarray(fin_i, np.int32)
+    fin_j = np.ascontiguousarray(fin_j, np.int32)
+    B = int(s_codes.shape[0])
+    assert 2 * b2_cols >= B, (trace.shape, B)
+    ops_stride = int(s_codes.shape[1] + t_codes.shape[1] + 2)
+    ops_buf = np.zeros((B, ops_stride), np.uint8)
+    ops_len = np.zeros((B,), np.int32)
+    rc = lib.bst_compact_sweep_batch_t(
+        trace.ctypes.data, atr, b2_cols,
+        s_codes.ctypes.data, s_codes.shape[1],
+        t_codes.ctypes.data, t_codes.shape[1],
+        fin_i.ctypes.data, fin_j.ctypes.data,
+        _flags_of(mode_flags), B, ops_stride,
+        ops_buf.ctypes.data, ops_len.ctypes.data,
+    )
+    assert rc == 0, "bst_compact_sweep_batch_t failed"
+    bad = np.nonzero(ops_len < 0)[0]
+    assert bad.size == 0, (
+        "lane-packed sweep trace replay overran for pairs %s — "
+        "corrupted trace or mismatched final cursors" % bad[:8].tolist()
+    )
+    ops = [
+        ops_buf[b, : ops_len[b]].tobytes().decode("ascii")
+        for b in range(B)
+    ]
     f = _flags_of(mode_flags)
     anchored = not (f & (MODE_LOCAL_START | MODE_FREE_START_EDGES))
     si = fin_i[:B].copy()

@@ -42,8 +42,9 @@ extern "C" {
 // a newer argtypes table shifts every subsequent pointer argument
 // (silent memory corruption), which a RuntimeWarning cannot prevent.
 // History: 1 = round-4 layout (bst_traceback_ad_batch b2_cols,
-// bst_traceback_ad row_stride).
-int bst_abi_version() { return 1; }
+// bst_traceback_ad row_stride); 2 = round-5 lane-packed sweep
+// compactor (bst_compact_sweep_batch_t).
+int bst_abi_version() { return 2; }
 
 // Banded (or full: dmin=-lt, dmax=ls) affine-gap DP.
 // dirs: optional output, (ls x W) bytes with W = dmax - dmin + 1 (row i
@@ -437,6 +438,56 @@ int bst_compact_sweep_batch(
         }
         for (long a = i + j; a < atr && !bad; ++a) {
             uint8_t op = (plane[a >> 2] >> (2 * (a & 3))) & 3;
+            if (op == 0) continue;
+            if (n >= ops_stride - 1) { bad = true; break; }
+            if (op == 1) {
+                ops[n++] = (sb[i] == tb[j]) ? 'M' : 'S';
+                ++i; ++j;
+            } else if (op == 2) {
+                ops[n++] = 'I'; ++j;
+            } else {
+                ops[n++] = 'D'; ++i;
+            }
+        }
+        ops[n] = '\0';
+        ops_len[b] = bad ? -1 : n;
+    }
+    return 0;
+}
+
+// Compact the LANE-PACKED sweep walker's op traces (round 5,
+// biseqt_tpu.ops.pallas_walk.traceback_sweep_t) into MSID transcripts.
+// Trace layout [2, atr_bytes, b2_cols]: pair b's codes live in plane
+// b % 2, COLUMN b / 2 — antidiagonal a's 2-bit op sits in bits
+// 2*(a % 4) of byte tr[(b & 1) * atr_bytes * b2_cols +
+// (a >> 2) * b2_cols + (b >> 1)].  Same replay semantics as
+// bst_compact_sweep_batch (ascending scan from the walk's final
+// cursor; anchored D^i I^j tails; fin_i < 0 = skipped pair).
+int bst_compact_sweep_batch_t(
+        const uint8_t* tr, int atr_bytes, int b2_cols,
+        const int8_t* s, int ls_cap, const int8_t* t, int lt_cap,
+        const int32_t* fin_i, const int32_t* fin_j,
+        int flags, int B, int ops_stride,
+        char* ops_out, int32_t* ops_len) {
+    const bool anchored = !(flags & (LOCAL_START | FREE_START_EDGES));
+    const long atr = 4L * atr_bytes;
+    for (int b = 0; b < B; ++b) {
+        char* ops = ops_out + (size_t)b * ops_stride;
+        int i = fin_i[b], j = fin_j[b];
+        int n = 0;
+        if (i < 0 || j < 0) { ops[0] = '\0'; ops_len[b] = 0; continue; }
+        const uint8_t* plane =
+            tr + (size_t)(b & 1) * atr_bytes * b2_cols + (b >> 1);
+        const int8_t* sb = s + (size_t)b * ls_cap;
+        const int8_t* tb = t + (size_t)b * lt_cap;
+        bool bad = false;
+        if (anchored) {
+            for (int k = 0; k < i; ++k) ops[n++] = 'D';
+            for (int k = 0; k < j; ++k) ops[n++] = 'I';
+        }
+        for (long a = i + j; a < atr && !bad; ++a) {
+            uint8_t op =
+                (plane[(size_t)(a >> 2) * b2_cols] >> (2 * (a & 3))) & 3;
             if (op == 0) continue;
             if (n >= ops_stride - 1) { bad = true; break; }
             if (op == 1) {

@@ -471,3 +471,290 @@ def split_sweep_fused(fused: np.ndarray, B: int):
     fi[0::2], fi[1::2] = cur[:, 0], cur[:, 1]
     fj[0::2], fj[1::2] = cur[:, 2], cur[:, 3]
     return tr0, tr1, fi[:B], fj[:B]
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed walk over the TRANSPOSED plane (round 5)
+# ---------------------------------------------------------------------------
+#
+# The sublane-packed kernel above pays Mosaic's fixed ~4-7-cycle per-op
+# overhead once per (grid program x interleave group) for every one of
+# its ~40 small ops per antidiagonal — with 4 programs x 2 groups at the
+# census shape that is ~320 op-issues per antidiagonal, and the round-4
+# census measured the walk 3.2x above its issue floor, op-COUNT-bound.
+# Flipping the plane chunk to [x, b2] (lanes = plane columns) packs the
+# walkers into the LANE axis instead:
+#   * extraction's one-hot runs over SUBLANES ([W, B] compare against a
+#     lane-packed cursor row) and its reduce is a sublane fold — one
+#     extraction serves EVERY plane row at once;
+#   * the ~30-op walker update chain runs ONCE per antidiagonal for all
+#     walkers ([2, B] state, sublane = parity slot) instead of once per
+#     program x group;
+#   * trace bytes build as [1, B] lane rows and concatenate into full
+#     [RC/2, B] tiles per chunk — no per-step wide accumulators at all.
+
+
+def _kernel_t(dq_ref, ei_ref, ej_ref, dirs_hbm, fi_ref, fj_ref, tr_hbm,
+              dbuf, obuf, sems, osems, *, W: int, Rp: int, BL: int,
+              RC: int):
+    cb = pl.program_id(0)
+    col0 = cb * BL
+    n_chunks = Rp // RC
+    nb = RC // 2                    # trace bytes per chunk (4 steps/byte)
+    xsub = jax.lax.broadcasted_iota(jnp.int32, (W, BL), 0)
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, (2, BL), 0)
+    # slot(x) = (a + x) % 2; the slot-1 mask and the {1, 16} nibble
+    # weights are static per a-parity (lo rows are even a, hi rows odd)
+    sub_par = xsub & 1
+    slot1 = (sub_par == 1, sub_par == 0)            # a even / a odd
+    wv = (jnp.where(slot1[0], 16, 1), jnp.where(slot1[1], 16, 1))
+
+    def start_dma(slot, c):
+        base = pl.multiple_of(c * RC, RC)
+        pltpu.make_async_copy(
+            dirs_hbm.at[pl.ds(base, RC), :, pl.ds(col0, BL)],
+            dbuf.at[slot], sems.at[slot],
+        ).start()
+
+    def wait_dma(slot, c):
+        base = pl.multiple_of(c * RC, RC)
+        pltpu.make_async_copy(
+            dirs_hbm.at[pl.ds(base, RC), :, pl.ds(col0, BL)],
+            dbuf.at[slot], sems.at[slot],
+        ).wait()
+
+    def out_dma(oslot, c):
+        base = pl.multiple_of(c * nb, nb)
+        return pltpu.make_async_copy(
+            obuf.at[oslot],
+            tr_hbm.at[:, pl.ds(base, nb), pl.ds(col0, BL)],
+            osems.at[oslot],
+        )
+
+    start_dma(0, n_chunks - 1)
+
+    def step_walk(byte, act, A, X, I, J, ST):
+        """One fused walker action, BOTH parity slots at once — same
+        semantics as the sublane kernel's step_walk (see above), on
+        lane-packed [2, BL] state (sublane p = parity slot p)."""
+        src = byte & 3
+        stn = ST != 0
+        eff = jnp.where(stn, ST, src)
+        stop = (jnp.minimum(I, J) == 0) | (src == 0)
+        keep = stn | ~stop
+        emit = act & keep
+        OP = jnp.where(emit, eff, 0)
+        di = OP & 1
+        dj = jnp.where(((OP + 1) & 2) != 0, 1, 0)
+        I2 = I - di
+        J2 = J - dj
+        X2 = X + (dj - di)
+        A2 = jnp.where(act & ~keep, -2, A - di - dj)
+        is_e = OP == OP_INS
+        gbit = jnp.where(is_e, byte & 4, byte & 8)
+        live = jnp.where(is_e, J2, I2)
+        cont = ((OP & 2) != 0) & (gbit != 0) & (live > 0)
+        ST2 = jnp.where(cont, OP, 0)
+        return OP, A2, X2, I2, J2, ST2
+
+    def chunk_body(cc, carry):
+        c = n_chunks - 1 - cc
+        slot = cc % 2
+        A, X, I, J, ST = carry
+
+        @pl.when(cc + 1 < n_chunks)
+        def _():
+            start_dma(1 - slot, c - 1)
+
+        # the slot's previous trace write-out must have landed before
+        # this chunk rebuilds obuf[slot]
+        @pl.when(cc >= 2)
+        def _():
+            out_dma(slot, c + 2).wait()
+
+        wait_dma(slot, c)
+        chunk = dbuf[slot].astype(jnp.int32)      # [RC, W, BL]
+        lo = chunk & 15
+        hi = ((chunk - lo).astype(jnp.float32)
+              * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
+
+        bacc = None
+        blist = []          # per-chunk trace bytes, descending byte idx
+        for rr in reversed(range(2 * RC)):
+            r, q = rr // 2, rr % 2
+            a = c * (2 * RC) + rr
+            nib = (hi if q else lo)[r]            # [W, BL]
+            act = A == a
+            Xm = jnp.where(act, X, -1)
+            # one [W, BL] one-hot serves both slots: sublane x compares
+            # against slot(x)'s cursor; slot-1 bytes pre-scale by 16 so
+            # the sublane SUM-reduce packs byte0 + 16*byte1 exactly
+            xsel = jnp.where(slot1[rr % 2], Xm[1:2, :], Xm[0:1, :])
+            payload = jnp.where(xsub == xsel, nib * wv[rr % 2], 0)
+            packed = jnp.sum(payload, axis=0, keepdims=True)  # [1, BL]
+            b0 = packed & 15
+            b1 = ((packed - b0).astype(jnp.float32)
+                  * jnp.float32(1.0 / 16.0)).astype(jnp.int32)
+            BY = jnp.where(iota2 == 0, b0, b1)                # [2, BL]
+            OP, A, X, I, J, ST = step_walk(BY, act, A, X, I, J, ST)
+            w = 1 << (2 * (rr % 4))
+            bacc = OP * w if rr % 4 == 3 else bacc + OP * w
+            if rr % 4 == 0:
+                blist.append(bacc)
+        # bytes were built descending; stack ascending per parity slot
+        # into whole [nb, BL] tiles (no per-step wide accumulators)
+        basc = blist[::-1]
+        obuf[slot, 0] = jnp.concatenate(
+            [b[0:1, :] for b in basc], axis=0).astype(jnp.uint8)
+        obuf[slot, 1] = jnp.concatenate(
+            [b[1:2, :] for b in basc], axis=0).astype(jnp.uint8)
+        out_dma(slot, c).start()
+        return (A, X, I, J, ST)
+
+    EI = ei_ref[:, :]                               # [2, BL]
+    EJ = ej_ref[:, :]
+    A0 = jnp.where(EI < 0, -2, EI + EJ)
+    X0 = EI - EJ - dq_ref[:, :]
+    init = (A0, X0, EI, EJ, jnp.zeros((2, BL), jnp.int32))
+    fin = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    # drain the last two trace write-outs
+    if n_chunks >= 2:
+        out_dma(n_chunks % 2, 1).wait()
+    out_dma((n_chunks - 1) % 2, 0).wait()
+    fi_ref[:, :] = fin[2]
+    fj_ref[:, :] = fin[3]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "col_block", "r_rows", "interpret",
+                     "transposed"),
+)
+def traceback_sweep_t(dirs, dminq, end_i, end_j, *, W: int,
+                      col_block: int = 1024, r_rows: int = 32,
+                      interpret: bool = False, transposed: bool = False):
+    """Lane-packed on-device traceback walk (round 5).
+
+    Same contract as :func:`traceback_sweep` but walkers live in the
+    LANE axis, so the whole batch shares one extraction + one update
+    chain per antidiagonal.  ``dirs``: the AD kernel's [Rp, B2, W]
+    plane (transposed on device to [Rp, W, B2] unless
+    ``transposed=True`` says it already is).
+
+    Returns ``(trace, fin_i, fin_j)``: ``trace`` [2, TRb, B2] uint8 —
+    parity slot p's plane is ``trace[p]``, antidiagonal ``a``'s op code
+    in bits ``2*(a % 4)`` of byte row ``a // 4``, pair column ``b // 2``
+    — and the final cursors [B].  Feed to
+    :func:`biseqt_tpu.native.compact_sweep_ops_t`.
+    """
+    if not transposed:
+        dirs = jnp.swapaxes(dirs, 1, 2)        # [Rp, W, B2]
+    Rp, Wd, B2 = dirs.shape
+    assert Wd == W and W % 128 == 0
+    B = dminq.shape[0]
+    assert B <= 2 * B2 and end_i.shape == (B,) and end_j.shape == (B,)
+    if B2 == 0 or Rp == 0:
+        return (jnp.zeros((2, 0, B2), jnp.uint8),
+                end_i.astype(jnp.int32), end_j.astype(jnp.int32))
+    RC = min(max(int(r_rows), 4), max(Rp, 4), 256)
+    RC = 1 << (RC.bit_length() - 1)            # power of two, >= 4
+    Rpp = _round_up(Rp, RC)
+    if Rpp != Rp:
+        dirs = jnp.pad(dirs, ((0, Rpp - Rp), (0, 0), (0, 0)))
+    BL = min(_round_up(B2, 128), int(col_block))
+    BL = _round_up(BL, 128)
+    Bcols = _round_up(B2, BL)
+    if Bcols != B2:
+        dirs = jnp.pad(dirs, ((0, 0), (0, 0), (0, Bcols - B2)))
+    TRb = Rpp // 2
+
+    def prep(v, fill):
+        v = v.astype(jnp.int32)
+        v = jnp.pad(v, ((0, 2 * Bcols - B),), constant_values=fill)
+        # de-interleave pairs into slot rows: [2, Bcols]
+        return v.reshape(Bcols, 2).T
+
+    dq2 = prep(dminq, 0)
+    ei2 = prep(end_i, -1)
+    ej2 = prep(end_j, -1)
+
+    vspec = lambda: pl.BlockSpec((2, BL), lambda cb: (0, cb),
+                                 memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_t, W=W, Rp=Rpp, BL=BL, RC=RC)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bcols // BL,),
+        in_specs=[vspec()] * 3 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[vspec(), vspec(),
+                   pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Bcols), jnp.int32),
+            jax.ShapeDtypeStruct((2, Bcols), jnp.int32),
+            jax.ShapeDtypeStruct((2, TRb, Bcols), jnp.uint8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, RC, W, BL), jnp.uint8),       # dirs chunks
+            pltpu.VMEM((2, 2, RC // 2, BL), jnp.uint8),  # trace tiles
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dq2, ei2, ej2, dirs)
+    fi = out[0].T.reshape(-1)[:B]
+    fj = out[1].T.reshape(-1)[:B]
+    return out[2][:, :, :B2], fi, fj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "col_block", "r_rows", "interpret",
+                     "transposed"),
+)
+def traceback_sweep_t_fused(dirs, dminq, end_i, end_j, *, W: int,
+                            col_block: int = 1024, r_rows: int = 32,
+                            interpret: bool = False,
+                            transposed: bool = False):
+    """:func:`traceback_sweep_t` with trace + cursors FUSED into one
+    uint8 array (one D2H transfer; see :func:`traceback_sweep_fused`
+    for why this environment charges per-transfer floors).
+
+    Returns uint8 ``[2 * TRb + 16, B2]``: plane-0 trace rows | plane-1
+    trace rows | 16 rows of int32 little-endian cursors (fi plane 0,
+    fi plane 1, fj plane 0, fj plane 1 — 4 byte-rows each).  Split with
+    :func:`split_sweep_t_fused`.
+    """
+    tr, fi, fj = traceback_sweep_t(
+        dirs, dminq, end_i, end_j, W=W, col_block=col_block,
+        r_rows=r_rows, interpret=interpret, transposed=transposed,
+    )
+    _, TRb, B2 = tr.shape
+    B = fi.shape[0]
+    fi_p = jnp.full((2 * B2,), -1, jnp.int32).at[:B].set(fi)
+    fj_p = jnp.full((2 * B2,), -1, jnp.int32).at[:B].set(fj)
+    cur = jnp.stack([fi_p[0::2], fi_p[1::2], fj_p[0::2], fj_p[1::2]],
+                    axis=0)                          # [4, B2] int32
+    cur_u8 = jnp.moveaxis(
+        jax.lax.bitcast_convert_type(cur, jnp.uint8),  # [4, B2, 4]
+        2, 1).reshape(16, B2)
+    return jnp.concatenate([tr.reshape(2 * TRb, B2), cur_u8], axis=0)
+
+
+def split_sweep_t_fused(fused: np.ndarray, B: int):
+    """Host-side inverse of :func:`traceback_sweep_t_fused`: returns
+    ``(trace [2, TRb, B2], fin_i [B], fin_j [B])`` ready for
+    :func:`biseqt_tpu.native.compact_sweep_ops_t`."""
+    fused = np.asarray(fused)
+    total, B2 = fused.shape
+    TRb = (total - 16) // 2
+    tr = fused[:2 * TRb].reshape(2, TRb, B2)
+    cur = np.ascontiguousarray(
+        np.moveaxis(fused[2 * TRb:].reshape(4, 4, B2), 1, 2)
+    ).view(np.int32).reshape(4, B2)
+    fi = np.empty((2 * B2,), np.int32)
+    fj = np.empty((2 * B2,), np.int32)
+    fi[0::2], fi[1::2] = cur[0], cur[1]
+    fj[0::2], fj[1::2] = cur[2], cur[3]
+    return tr, fi[:B], fj[:B]

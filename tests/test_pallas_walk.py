@@ -203,3 +203,176 @@ def test_device_walk_empty_plane():
         assert tr0.shape == (B2, 0) and tr1.shape == (B2, 0)
         np.testing.assert_array_equal(np.asarray(fi), np.full((B,), 5))
         np.testing.assert_array_equal(np.asarray(fj), np.full((B,), 7))
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed (transposed-plane) walk — round 5
+# ---------------------------------------------------------------------------
+
+from biseqt_tpu.ops.pallas_walk import (traceback_sweep_t,  # noqa: E402
+                                        traceback_sweep_t_fused,
+                                        split_sweep_t_fused)
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_lane_packed_walk_matches_native(rng, flags):
+    args, w_eff = _mk_batch(rng)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    kw = dict(W=128, subst=subst, go=-2.0, ge=-1.0, flags=flags,
+              w_eff=jnp.asarray(w_eff))
+    res = banded_dp_pallas_ad(
+        *args, interpret=True, block_b=8, r_chunk=16, with_dirs=True,
+        **kw)
+    ss, ts, s_lens, t_lens, dmin = [np.asarray(a) for a in args]
+    B = ss.shape[0]
+    score = np.asarray(res.score)
+    dminq = parity_adjusted_dmin(dmin, np.arange(B, dtype=np.int32) % 2)
+    end_i = np.asarray(res.end_i).astype(np.int32)
+    end_j = np.asarray(res.end_j).astype(np.int32)
+    live = score > -1e29
+    ref_ops, ref_si, ref_sj = native.traceback_batch_ad(
+        np.asarray(res.dirs), dminq, ss, ts, s_lens, t_lens,
+        end_i, end_j, flags,
+    )
+    ei_m = np.where(live, end_i, -1).astype(np.int32)
+    ej_m = np.where(live, end_j, -1).astype(np.int32)
+    tr, fi, fj = traceback_sweep_t(
+        jnp.asarray(res.dirs), jnp.asarray(dminq), jnp.asarray(ei_m),
+        jnp.asarray(ej_m), W=128, r_rows=8, interpret=True)
+    got_ops, got_si, got_sj = native.compact_sweep_ops_t(
+        np.asarray(tr), np.asarray(fi), np.asarray(fj), ss, ts, flags)
+    n_checked = 0
+    for b in range(B):
+        if not live[b]:
+            assert got_ops[b] == ""
+            continue
+        assert got_ops[b] == ref_ops[b], (b, flags)
+        assert got_si[b] == ref_si[b] and got_sj[b] == ref_sj[b], (
+            b, flags)
+        n_checked += 1
+    assert n_checked >= B - 1
+
+
+def test_lane_packed_walk_degenerate_and_skewed(rng):
+    """Empty-origin global pair, free-end row-0 optimum, and the
+    skewed-band wrap-regression geometry — all through the lane-packed
+    walk."""
+    # degenerate geometries
+    subst = np.full((4, 4), -100.0, np.float32)
+    s = np.asarray([[2, 2]], np.int8)
+    t = np.asarray([[0, 0]], np.int8)
+    tl = np.asarray([1], np.int32)
+    dmin = np.asarray([-64], np.int32)
+    for sl_v, flags in (
+        (0, ModeFlags()),
+        (2, ModeFlags(free_end_edges=True)),
+    ):
+        sl = np.asarray([sl_v], np.int32)
+        res = banded_dp_pallas_ad(
+            jnp.asarray(s), jnp.asarray(t), jnp.asarray(sl),
+            jnp.asarray(tl), jnp.asarray(dmin), W=128, subst=subst,
+            go=-2.0, ge=-1.0, flags=flags,
+            w_eff=jnp.asarray([127], np.int32), interpret=True,
+            block_b=8, r_chunk=16, with_dirs=True)
+        dminq = parity_adjusted_dmin(dmin, np.zeros(1, np.int32))
+        end_i = np.asarray(res.end_i).astype(np.int32)
+        end_j = np.asarray(res.end_j).astype(np.int32)
+        ref_ops, ref_si, ref_sj = native.traceback_batch_ad(
+            np.asarray(res.dirs), dminq, s, t, sl, tl, end_i, end_j,
+            flags)
+        tr, fi, fj = traceback_sweep_t(
+            jnp.asarray(res.dirs), jnp.asarray(dminq),
+            jnp.asarray(end_i), jnp.asarray(end_j), W=128,
+            r_rows=8, interpret=True)
+        got_ops, got_si, got_sj = native.compact_sweep_ops_t(
+            np.asarray(tr), np.asarray(fi), np.asarray(fj), s, t, flags)
+        assert got_ops[0] == ref_ops[0], (sl_v, flags, got_ops, ref_ops)
+        assert (got_si[0], got_sj[0]) == (ref_si[0], ref_sj[0])
+    # skewed lengths (the wrap-regression geometry)
+    flags = ModeFlags(local_start=True, local_end=True)
+    S = rng.integers(0, 4, 600).astype(np.int8)
+    T = np.pad(S[481:581], (0, 28), constant_values=0)[None, :]
+    S = S[None, :]
+    sl = np.asarray([600], np.int32)
+    tl = np.asarray([100], np.int32)
+    dmin = np.asarray([480], np.int32)
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+    res = banded_dp_pallas_ad(
+        jnp.asarray(S), jnp.asarray(T), jnp.asarray(sl), jnp.asarray(tl),
+        jnp.asarray(dmin), W=128, subst=subst, go=-2.0, ge=-1.0,
+        flags=flags, w_eff=jnp.asarray([127], np.int32), interpret=True,
+        block_b=8, r_chunk=16, with_dirs=True)
+    dminq = parity_adjusted_dmin(dmin, np.zeros(1, np.int32))
+    end_i = np.asarray(res.end_i).astype(np.int32)
+    end_j = np.asarray(res.end_j).astype(np.int32)
+    ref_ops, _, _ = native.traceback_batch_ad(
+        np.asarray(res.dirs), dminq, S, T, sl, tl, end_i, end_j, flags)
+    tr, fi, fj = traceback_sweep_t(
+        jnp.asarray(res.dirs), jnp.asarray(dminq), jnp.asarray(end_i),
+        jnp.asarray(end_j), W=128, r_rows=8, interpret=True)
+    got_ops, _, _ = native.compact_sweep_ops_t(
+        np.asarray(tr), np.asarray(fi), np.asarray(fj), S, T, flags)
+    assert got_ops[0] == ref_ops[0]
+    assert got_ops[0].count("M") > 90
+
+
+def test_lane_packed_walk_empty_plane():
+    for B2, Rp in ((3, 0), (0, 0)):
+        B = 2 * B2
+        tr, fi, fj = traceback_sweep_t(
+            jnp.zeros((Rp, B2, 128), jnp.uint8),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), 5, jnp.int32), jnp.full((B,), 7, jnp.int32),
+            W=128, interpret=True)
+        assert tr.shape == (2, 0, B2)
+        np.testing.assert_array_equal(np.asarray(fi), np.full((B,), 5))
+        np.testing.assert_array_equal(np.asarray(fj), np.full((B,), 7))
+
+
+def test_lane_packed_walk_col_blocks(rng):
+    """col_block smaller than the padded B2 engages the multi-program
+    grid; results must be identical to the single-program run.  Uses a
+    synthetic dirs plane (B2=130 > 128 lanes) — the walkers only read
+    nibbles, so random planes exercise the grid determinism without an
+    interpret-mode DP at B=260."""
+    B2, Rp, W = 130, 16, 128
+    B = 2 * B2
+    dirs = rng.integers(0, 256, (Rp, B2, W)).astype(np.uint8)
+    dminq = rng.integers(-W + 1, 1, B).astype(np.int32)
+    # end cells inside the band: i + j < 2*Rp, i - j - dminq in [0, W)
+    ei = rng.integers(1, Rp, B).astype(np.int32)
+    ej = np.clip(ei - dminq - rng.integers(0, W, B), 0, Rp - 1
+                 ).astype(np.int32)
+    ei[::7] = -1                      # sprinkle skipped pairs
+    outs = [
+        traceback_sweep_t(
+            jnp.asarray(dirs), jnp.asarray(dminq), jnp.asarray(ei),
+            jnp.asarray(ej), W=W, r_rows=8, col_block=cb,
+            interpret=True)
+        for cb in (1024, 128)         # 1 program vs 2 programs
+    ]
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]))
+
+
+def test_lane_packed_fused_roundtrip(rng):
+    """Fused single-array output splits back to the unfused triple."""
+    B2, Rp, W = 20, 16, 128
+    B = 2 * B2 - 3                    # ragged tail
+    dirs = rng.integers(0, 256, (Rp, B2, W)).astype(np.uint8)
+    dminq = rng.integers(-W + 1, 1, B).astype(np.int32)
+    ei = rng.integers(1, Rp, B).astype(np.int32)
+    ej = np.clip(ei - dminq - rng.integers(0, W, B), 0, Rp - 1
+                 ).astype(np.int32)
+    ei[::5] = -1
+    tr, fi, fj = traceback_sweep_t(
+        jnp.asarray(dirs), jnp.asarray(dminq), jnp.asarray(ei),
+        jnp.asarray(ej), W=W, r_rows=8, interpret=True)
+    fused = traceback_sweep_t_fused(
+        jnp.asarray(dirs), jnp.asarray(dminq), jnp.asarray(ei),
+        jnp.asarray(ej), W=W, r_rows=8, interpret=True)
+    tr2, fi2, fj2 = split_sweep_t_fused(np.asarray(fused), B)
+    np.testing.assert_array_equal(np.asarray(tr), tr2)
+    np.testing.assert_array_equal(np.asarray(fi), fi2)
+    np.testing.assert_array_equal(np.asarray(fj), fj2)
