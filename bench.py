@@ -151,14 +151,18 @@ def main():
     # (ctypes releases the GIL; D2H waits on the tunnel).
     import threading
 
-    from biseqt_tpu.ops.pallas_walk import (traceback_sweep_fused,
-                                            split_sweep_fused)
+    from biseqt_tpu.ops.pallas_walk import (traceback_sweep_t_fused,
+                                            split_sweep_t_fused)
 
     dminq_j = jnp.asarray(dminq)
 
+    # round 5: the LANE-PACKED walk (walkers in the lane axis of the
+    # transposed plane — one extraction + one update chain per
+    # antidiagonal for the whole batch) cut the census-shape walk
+    # 96 -> 36 ms (experiments/walk_t_probe.py)
     def launch_tx(a):
         r = banded_dp_pallas_ad(*a, w_eff=w_eff_d, with_dirs=True, **kw)
-        return traceback_sweep_fused(
+        return traceback_sweep_t_fused(
             r.dirs, dminq_j, r.end_i.astype(jnp.int32),
             r.end_j.astype(jnp.int32), W=W)
 
@@ -213,9 +217,9 @@ def main():
         if k + 1 < nd_tx:
             th = threading.Thread(target=fetch, args=(k + 1,))
             th.start()
-        tr0, tr1, fi, fj = split_sweep_fused(mats[k], Bd)
-        opss, _, _ = native.compact_sweep_ops(
-            tr0, tr1, fi, fj, hosts[k][0], hosts[k][1], fl)
+        tr, fi, fj = split_sweep_t_fused(mats[k], Bd)
+        opss, _, _ = native.compact_sweep_ops_t(
+            tr, fi, fj, hosts[k][0], hosts[k][1], fl)
         n_ops += sum(len(o) for o in opss)
         tx_ts.append(time.time())
     dt_tx = (tx_ts[-1] - t0) / nd_tx

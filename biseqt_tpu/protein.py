@@ -83,9 +83,12 @@ class TwoTierResult(NamedTuple):
 
 
 def _bucket_up(n: int, mini: int) -> int:
+    # doubling buckets: every distinct jit shape is a remote compile in
+    # this environment, and survivor counts jitter run to run — fine
+    # half-pow2 steps would straddle a boundary and recompile mid-stream
     b = mini
     while b < n:
-        b += max(b // 2, mini)
+        b *= 2
     return b
 
 
