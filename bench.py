@@ -49,6 +49,17 @@ def main():
         )]
 
     w_eff = jnp.full((B,), BW, jnp.int32)
+
+    def stage(argsets):
+        # force input residency BEFORE the timed region: through this
+        # tunnel, block_until_ready returns early and the ~550 ms/batch
+        # H2D otherwise lands inside the first timed materialization
+        # (measured in experiments/txpath_probe.py; production hosts
+        # stage inputs asynchronously)
+        for a in argsets:
+            _ = np.asarray(jnp.ravel(a[0])[:1].astype(jnp.int32)
+                           + jnp.ravel(a[1])[:1].astype(jnp.int32))
+
     # warm up / compile
     res = banded_dp_pallas_ad(*mkargs(0), w_eff=w_eff, **kw)
     _ = np.asarray(res.score)
@@ -61,8 +72,7 @@ def main():
     # steady state; min/median/runs go into the JSON.
     n = 4
     argsets = [mkargs(k + 1) for k in range(n)]
-    for a in argsets:
-        jax.block_until_ready(a)
+    stage(argsets)
     t0 = time.time()
     outs = [
         banded_dp_pallas_ad(*a, w_eff=w_eff, **kw).score for a in argsets
@@ -125,8 +135,7 @@ def main():
     _ = np.asarray(res.score)  # compile
     nd = 2
     adsets = [mkargs(k + 10) for k in range(nd)]
-    for a in adsets:
-        jax.block_until_ready(a)
+    stage(adsets)
     t0 = time.time()
     outs_d = [
         banded_dp_pallas_ad(*a, w_eff=w_eff, with_dirs=True, **kw)
@@ -159,12 +168,22 @@ def main():
     # round 5: the LANE-PACKED walk (walkers in the lane axis of the
     # transposed plane — one extraction + one update chain per
     # antidiagonal for the whole batch) cut the census-shape walk
-    # 96 -> 36 ms (experiments/walk_t_probe.py)
-    def launch_tx(a):
-        r = banded_dp_pallas_ad(*a, w_eff=w_eff_d, with_dirs=True, **kw)
+    # 96 -> 36 ms (experiments/walk_t_probe.py).  DP + walk are fused
+    # into ONE jitted dispatch: each Python-level jit call through the
+    # tunnel costs ~32 ms+ before returning, and the old 3-call chain
+    # (DP, astype, walk) made the device leg DISPATCH-bound — its
+    # second pipelined delta measured 34 ms while the first absorbed
+    # ~0.5 s of serialized launch latency
+    @jax.jit
+    def launch_tx_fused(ss_, ts_, sl_, tl_, dm_):
+        r = banded_dp_pallas_ad(ss_, ts_, sl_, tl_, dm_, w_eff=w_eff_d,
+                                with_dirs=True, **kw)
         return traceback_sweep_t_fused(
             r.dirs, dminq_j, r.end_i.astype(jnp.int32),
             r.end_j.astype(jnp.int32), W=W)
+
+    def launch_tx(a):
+        return launch_tx_fused(*a)
 
     _ = np.asarray(launch_tx(mkargs_d(0)))   # compile + real completion
     # (block_until_ready returns early through the tunnel)
@@ -175,23 +194,23 @@ def main():
     # force completion).  This is the number production PCIe hosts see
     # — the e2e number below additionally pays this environment's
     # 20-60 MB/s (run-to-run variable) tunnel for the trace transfer.
-    devsets = [mkargs_d(k + 51) for k in range(2)]
-    for a in devsets:
-        jax.block_until_ready(a)
+    nd_dev = 8
+    devsets = [mkargs_d(k + 51) for k in range(nd_dev)]
+    stage(devsets)
     t0 = time.time()
     douts = [launch_tx(a) for a in devsets]
     dev_ts = []
     for o in douts:
         _ = np.asarray(o[:1, -16:])
         dev_ts.append(time.time())
-    dt_dev = (dev_ts[-1] - t0) / 2
+    dt_dev = (dev_ts[-1] - t0) / nd_dev
     cells_d = Bd * 10000 * BW
     gcups_tx_device = cells_d / dt_dev / 1e9
     gcups_tx_device_runs = [
         round(cells_d / d / 1e9, 2) for d in np.diff([t0] + dev_ts)]
     del douts
 
-    nd_tx = 3
+    nd_tx = 5
     txsets = [mkargs_d(k + 101) for k in range(nd_tx)]
     # host copies of the chars OUTSIDE the timed region: the compactor
     # needs them on host, but they were born on host (mkargs) — timing
@@ -199,8 +218,7 @@ def main():
     # the e2e number for a transfer no real flow pays, dwarfing the
     # 5 MB trace D2H the device walk exists to minimize
     hosts = [(np.asarray(a[0]), np.asarray(a[1])) for a in txsets]
-    for a in txsets:
-        jax.block_until_ready(a)
+    stage(txsets)
     t0 = time.time()
     fused = [launch_tx(a) for a in txsets]
     mats = [None] * nd_tx
