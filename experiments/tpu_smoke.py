@@ -242,6 +242,19 @@ def main():
         np.asarray(targs2[0]), np.asarray(targs2[1]),
         ModeFlags(local_start=True, local_end=True))
     check("device_walk_transcripts", list(ops_dev) == list(opst))
+    # lane-packed walk (round 5, the bench's production path): same
+    # planes, byte-identical transcripts through the fused output +
+    # column-major compactor
+    from biseqt_tpu.ops.pallas_walk import (traceback_sweep_t_fused,
+                                            split_sweep_t_fused)
+    fused_t = traceback_sweep_t_fused(
+        rest.dirs, jnp.asarray(dminq_t), rest.end_i.astype(jnp.int32),
+        rest.end_j.astype(jnp.int32), W=128)
+    tr_t, fi_t, fj_t = split_sweep_t_fused(np.asarray(fused_t), Bt)
+    ops_t, _, _ = native.compact_sweep_ops_t(
+        tr_t, fi_t, fj_t, np.asarray(targs2[0]), np.asarray(targs2[1]),
+        ModeFlags(local_start=True, local_end=True))
+    check("lane_packed_walk_transcripts", list(ops_t) == list(opst))
     # throughput on FRESH inputs (the tunnel caches identical launches)
     rr5 = np.random.default_rng(int(time.time()) ^ 0xBEEF)
     targs3 = [jnp.asarray(x) for x in (
