@@ -80,6 +80,12 @@ class TwoTierResult(NamedTuple):
     #                               the full matrix; row k is pair
     #                               survivor_idx[k]), None if S == 0
     full_scores: np.ndarray       # [B] float32; -inf for filtered pairs
+    survivor_pad: np.ndarray      # [Sp] int32 original-batch index of
+    #                               every row of `full` (rows >= S are
+    #                               bucket filler) — with
+    #                               with_dirs=True this is what maps
+    #                               `full.dirs` rows back to pairs for
+    #                               the traceback walkers
 
 
 def _bucket_up(n: int, mini: int) -> int:
@@ -96,7 +102,8 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
                     flags: ModeFlags, w_eff, subst=None,
                     groups=DAYHOFF6_GROUPS, threshold: float,
                     engine: str = "pallas", block_b: int = 128,
-                    with_dirs: bool = False) -> TwoTierResult:
+                    with_dirs: bool = False,
+                    engine_opts: Optional[dict] = None) -> TwoTierResult:
     """Score a batch of banded protein alignments via the two-tier
     strategy.  Args mirror the DP engines (`ops/banded_dp.banded_dp` /
     `ops/pallas_dp_ad.banded_dp_pallas_ad`): int8 code arrays over
@@ -133,12 +140,13 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
             # construction and ceil(A/4) packed planes beat a 25-49-way
             # select chain — force packed for the filter tier
             packed = True if 4 < A < 8 else None
+            opts = dict(block_b=block_b, _subst_packed=packed)
+            opts.update(engine_opts or {})   # caller opts win
             return banded_dp_pallas_ad(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(sl),
                 jnp.asarray(tl), jnp.asarray(dm), W=W,
                 subst=mat, A=A, go=go, ge=ge, flags=flags,
-                w_eff=jnp.asarray(we), block_b=block_b,
-                with_dirs=dirs, _subst_packed=packed)
+                w_eff=jnp.asarray(we), with_dirs=dirs, **opts)
     elif engine == "lax":
         def run(a, b, sl, tl, dm, we, mat, dirs):
             return banded_dp(
@@ -157,7 +165,8 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
     full_scores = np.full((B,), -np.inf, np.float32)
     if idx.size == 0:
         return TwoTierResult(reduced_scores, survivors, idx, None,
-                             full_scores)
+                             full_scores,
+                             np.zeros((0,), np.int32))
 
     # compact survivors, pad to a bucket (repeat row 0 as filler — its
     # results are discarded)
@@ -169,4 +178,4 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
     sub_scores = np.asarray(sres.score, np.float32)[:idx.size]
     full_scores[idx] = sub_scores
     return TwoTierResult(reduced_scores, survivors, idx, sres,
-                         full_scores)
+                         full_scores, pad)

@@ -177,3 +177,46 @@ def test_reduced_matrix_pallas_packed_parity(rng, groups):
         block_b=8, r_chunk=16, _subst_packed=True, **kw)
     np.testing.assert_allclose(
         np.asarray(got.score), np.asarray(want.score), atol=1e-3)
+
+
+def test_two_tier_survivor_transcripts(rng):
+    """with_dirs=True on the pallas engine: survivors' dirs planes walk
+    to the SAME transcripts as a direct full-matrix run on those pairs
+    (the reference's Aligner contract includes transcripts)."""
+    from biseqt_tpu import native
+    from biseqt_tpu.ops.pallas_dp_ad import (banded_dp_pallas_ad,
+                                             parity_adjusted_dmin)
+
+    ss, ts, lens, dmin, w_eff, n_hom = _protein_batch(rng, B=8, L=96)
+    w_eff = np.full((8,), 100, np.int32)   # pallas kernel wants W=128
+    dmin = np.full((8,), -40, np.int32)
+    flags = ModeFlags(local_start=True, local_end=True)
+    kw = dict(W=128, go=-11.0, ge=-1.0, flags=flags)
+    opts = dict(interpret=True, block_b=8, r_chunk=16)
+    res = two_tier_scores(
+        ss, ts, lens, lens, dmin, w_eff=w_eff, threshold=100.0,
+        engine="pallas", engine_opts=opts, with_dirs=True, **kw)
+    assert res.survivors[:n_hom].all() and not res.survivors[n_hom:].any()
+    S, pad = res.survivor_idx.size, res.survivor_pad
+    assert pad.shape[0] >= S and (pad[:S] == res.survivor_idx).all()
+    # walk the survivor batch's dirs
+    dminq = parity_adjusted_dmin(
+        dmin[pad], np.arange(pad.size, dtype=np.int32) % 2)
+    got_ops, _, _ = native.traceback_batch_ad(
+        np.asarray(res.full.dirs), dminq, ss[pad], ts[pad],
+        lens[pad], lens[pad],
+        np.asarray(res.full.end_i).astype(np.int32),
+        np.asarray(res.full.end_j).astype(np.int32), flags)
+    # reference: direct full-matrix run on exactly the survivor pairs
+    ref = banded_dp_pallas_ad(
+        jnp.asarray(ss[pad]), jnp.asarray(ts[pad]),
+        jnp.asarray(lens[pad]), jnp.asarray(lens[pad]),
+        jnp.asarray(dmin[pad]), subst=BLOSUM62, A=20,
+        w_eff=jnp.asarray(w_eff[pad]), with_dirs=True, **opts, **kw)
+    ref_ops, _, _ = native.traceback_batch_ad(
+        np.asarray(ref.dirs), dminq, ss[pad], ts[pad], lens[pad],
+        lens[pad], np.asarray(ref.end_i).astype(np.int32),
+        np.asarray(ref.end_j).astype(np.int32), flags)
+    for k in range(S):
+        assert got_ops[k] == ref_ops[k], k
+        assert len(got_ops[k]) > 0
