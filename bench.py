@@ -87,6 +87,13 @@ def main():
     cells = B * 10000 * BW  # true band cells per run
     gcups = cells / dt / 1e9
     gcups_runs = [round(cells / d / 1e9, 2) for d in run_dts]
+    # min/median are regression detectors, so they are computed over
+    # the STEADY-STATE deltas only: the first delta absorbs the whole
+    # pipeline fill (all n launch dispatches + first-run latency —
+    # measured ~0.5 s vs ~34 ms steady-state on the device leg), so
+    # including it would make value_min always report fill latency and
+    # hide any real steady-state regression smaller than the fill
+    gcups_ss = gcups_runs[1:] if len(gcups_runs) > 1 else gcups_runs
 
     # transcript mode (the reference's dptable_solve + dptable_traceback
     # contract): same kernel with nibble-packed direction planes streamed
@@ -108,6 +115,12 @@ def main():
     w_eff_d = jnp.full((Bd,), BW, jnp.int32)
 
     def mkargs_d(seed):
+        """Returns (device arg list, host (ss, ts) originals).
+
+        The host copies ride along because the e2e leg's C++ compactor
+        needs the chars on host — re-fetching the device copies would
+        pull 2 x 21 MB/batch back through the 20-60 MB/s tunnel for
+        data that was just born on host."""
         rr = np.random.default_rng(seed * 7_000_003 + 5)
         ss = rr.integers(0, 4, (Bd, L), dtype=np.int8)
         ts = ss.copy()
@@ -118,7 +131,7 @@ def main():
             np.full((Bd,), 10000, np.int32),
             np.full((Bd,), 10000, np.int32),
             np.full((Bd,), -(BW // 2), np.int32),
-        )]
+        )], (ss, ts)
 
     dminq = parity_adjusted_dmin(
         np.full((Bd,), -(BW // 2), np.int32),
@@ -185,7 +198,7 @@ def main():
     def launch_tx(a):
         return launch_tx_fused(*a)
 
-    _ = np.asarray(launch_tx(mkargs_d(0)))   # compile + real completion
+    _ = np.asarray(launch_tx(mkargs_d(0)[0]))  # compile + real completion
     # (block_until_ready returns early through the tunnel)
     fl = ModeFlags(local_start=True, local_end=True)
 
@@ -195,7 +208,7 @@ def main():
     # — the e2e number below additionally pays this environment's
     # 20-60 MB/s (run-to-run variable) tunnel for the trace transfer.
     nd_dev = 8
-    devsets = [mkargs_d(k + 51) for k in range(nd_dev)]
+    devsets = [mkargs_d(k + 51)[0] for k in range(nd_dev)]
     stage(devsets)
     t0 = time.time()
     douts = [launch_tx(a) for a in devsets]
@@ -211,13 +224,15 @@ def main():
     del douts
 
     nd_tx = 5
-    txsets = [mkargs_d(k + 101) for k in range(nd_tx)]
-    # host copies of the chars OUTSIDE the timed region: the compactor
-    # needs them on host, but they were born on host (mkargs) — timing
+    txpairs = [mkargs_d(k + 101) for k in range(nd_tx)]
+    # the compactor needs the chars on host, but they were born on host
+    # (mkargs_d hands back the numpy originals) — re-fetching or timing
     # their D2H (21 MB/batch through the ~20 MB/s tunnel) would charge
     # the e2e number for a transfer no real flow pays, dwarfing the
     # 5 MB trace D2H the device walk exists to minimize
-    hosts = [(np.asarray(a[0]), np.asarray(a[1])) for a in txsets]
+    txsets = [p[0] for p in txpairs]
+    hosts = [p[1] for p in txpairs]
+    del txpairs
     stage(txsets)
     t0 = time.time()
     fused = [launch_tx(a) for a in txsets]
@@ -252,12 +267,13 @@ def main():
     # batch's packed plane (GBs) would take minutes through the tunnel
     # and the number is a per-byte artifact anyway.
     Bh = 128
-    args_h = [x[:Bh] for x in mkargs_d(7)]
+    args_h = [x[:Bh] for x in mkargs_d(7)[0]]
     wh = jnp.full((Bh,), BW, jnp.int32)
     res_h = banded_dp_pallas_ad(*args_h, w_eff=wh, with_dirs=True, **kw)
     _ = np.asarray(res_h.score)               # compile
-    args_h = [x[:Bh] for x in mkargs_d(8)]
-    hs, ht = np.asarray(args_h[0]), np.asarray(args_h[1])
+    args_8, hosts_8 = mkargs_d(8)
+    args_h = [x[:Bh] for x in args_8]
+    hs, ht = hosts_8[0][:Bh], hosts_8[1][:Bh]
     res_h = banded_dp_pallas_ad(*args_h, w_eff=wh, with_dirs=True, **kw)
     _ = np.asarray(res_h.score)
     t0 = time.time()
@@ -277,8 +293,8 @@ def main():
         "metric": "banded_sw_gcups",
         "value": round(gcups, 2),
         "value_runs": gcups_runs,
-        "value_min": min(gcups_runs),
-        "value_median": round(float(np.median(gcups_runs)), 2),
+        "value_min": min(gcups_ss),
+        "value_median": round(float(np.median(gcups_ss)), 2),
         "unit": "GCUPS/chip",
         "vs_baseline": round(gcups / 50.0, 3),
         "gcups_dirs_kernel": round(gcups_dirs_kernel, 2),

@@ -274,7 +274,7 @@ class DB:
         # once (errors here name the offending letter/code)
         try:
             _mapping_table(self.alphabet, complement_map)
-        except (KeyError, AssertionError) as e:
+        except (KeyError, AssertionError, ValueError) as e:
             raise ValueError(
                 "complement_map %r is not valid for alphabet %r: %s"
                 % (complement_map, self.alphabet, e))

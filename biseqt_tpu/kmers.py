@@ -73,6 +73,10 @@ def as_kmer_keys_np(codes: np.ndarray, wordlen: int,
     ``wordlen``).
     """
     codes = np.asarray(codes)
+    if codes.dtype.kind not in "iu":
+        # float/object code arrays worked in the pre-vectorized tier;
+        # the in-place += below needs an integer dtype
+        codes = codes.astype(np.int64)
     m = codes.shape[0] - int(wordlen) + 1
     if m <= 0:
         return np.empty(0, np.int64)

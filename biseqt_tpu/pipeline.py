@@ -18,6 +18,7 @@ extension O(band x length) on the MXU-free VPU path, everything batched.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import numpy as np
@@ -29,6 +30,61 @@ from .blot import WordBlot, band_radius
 from .ops.banded_dp import banded_dp, ModeFlags
 
 __all__ = ["discover_and_extend", "extend_segments"]
+
+
+# the round-5 lane-packed walk pads the plane's pair axis to 128
+# lanes — only worth it when the batch is at least half a lane block
+# wide (<=2x padding).  Module-level so interpret-mode tests can
+# lower it and exercise the lane-packed pipeline path on tiny batches.
+_LANE_WALK_MIN_B2 = 64
+
+
+@functools.lru_cache(maxsize=16)
+def _dp_walk_fused_fn(subst_key, W: int, block_b: int,
+                      walk_block_b: int, lane_packed: bool,
+                      flags: ModeFlags, go: float, ge: float,
+                      interpret: bool, r_chunk: int = 128,
+                      walk_r_rows: int = None):
+    """Build the fused DP + on-device-traceback dispatch.
+
+    Each Python-level jit call through this environment's tunnel costs
+    ~32 ms+ before returning, so DP kernel and walk go out as ONE
+    jitted dispatch — and the dirs plane (the largest buffer in a
+    transcript launch) becomes an XLA intermediate, freed when the
+    walk consumes it instead of surviving as a held output.
+    ``lane_packed`` selects the round-5 lane-axis walk (2.7x the
+    sublane one; pads the plane's pair axis to 128 lanes, so callers
+    gate it on batch width).  ``subst_key`` is ``(bytes, shape)`` of
+    the f32 substitution matrix — the kernel wrapper inspects it
+    concretely at trace time, so it rides as a closure constant; the
+    lru cache keeps the jit cache stable across launches.
+    """
+    from .ops.pallas_dp_ad import banded_dp_pallas_ad
+    from .ops.pallas_walk import (traceback_sweep_fused,
+                                  traceback_sweep_t_fused)
+
+    subst = np.frombuffer(subst_key[0], np.float32).reshape(subst_key[1])
+
+    @jax.jit
+    def f(s_codes, t_codes, s_lens, t_lens, dmin, w_eff, dminq, real):
+        res = banded_dp_pallas_ad(
+            s_codes, t_codes, s_lens, t_lens, dmin, W=W, subst=subst,
+            go=go, ge=ge, flags=flags, w_eff=w_eff, with_dirs=True,
+            block_b=block_b, interpret=interpret, r_chunk=r_chunk,
+        )
+        ei = jnp.where(real, res.end_i.astype(jnp.int32), -1)
+        ej = jnp.where(real, res.end_j.astype(jnp.int32), -1)
+        wr = {} if walk_r_rows is None else {"r_rows": walk_r_rows}
+        if lane_packed:
+            walk = traceback_sweep_t_fused(res.dirs, dminq, ei, ej, W=W,
+                                           interpret=interpret, **wr)
+        else:
+            walk = traceback_sweep_fused(res.dirs, dminq, ei, ej, W=W,
+                                         block_b=walk_block_b,
+                                         interpret=interpret, **wr)
+        return res.score, walk
+
+    return f
 
 
 def _bucket(n, mini=128):
@@ -53,7 +109,9 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
                     use_pallas: bool = None, pad_radius: int = 16,
                     pad_a: int = 512, with_transcripts: bool = False,
                     device_walk: bool = True,
-                    _dirs_budget: int = 512 << 20):
+                    _dirs_budget: int = 512 << 20,
+                    _interpret: bool = False, _r_chunk: int = 128,
+                    _walk_r_rows: int = None):
     """Batched banded extension of Word-Blot candidate segments.
 
     Each segment's (d, a) rectangle maps to subsequences
@@ -180,8 +238,9 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
 
     def _finish(rec):
         inflight[0] -= rec["bytes"]
-        idxs, n, res = rec["idxs"], rec["n"], rec["res"]
-        scores[idxs] = np.asarray(res.score)[:n]
+        idxs, n = rec["idxs"], rec["n"]
+        res = rec["res"]
+        scores[idxs] = np.asarray(rec["score"])[:n]
         if not with_transcripts:
             return
         from . import native
@@ -193,18 +252,28 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             from .ops.pallas_dp_ad import parity_adjusted_dmin
 
             if rec["walk"] is not None:
-                from .ops.pallas_walk import split_sweep_fused
+                from .ops.pallas_walk import (split_sweep_fused,
+                                              split_sweep_t_fused)
 
                 # ONE D2H for the whole walk result (traces + cursors):
                 # this environment's tunnel charges a fixed ~22 ms floor
                 # per transfer, so the four separate materializations
                 # cost three extra floors per launch
-                tr0, tr1, fi, fj = split_sweep_fused(
-                    np.asarray(rec["walk"]), n
-                )
-                g_ops, g_si, g_sj = native.compact_sweep_ops(
-                    tr0, tr1, fi, fj, s_codes[:n], t_codes[:n], flags,
-                )
+                if rec["walk_t"]:
+                    tr, fi, fj = split_sweep_t_fused(
+                        np.asarray(rec["walk"]), n
+                    )
+                    g_ops, g_si, g_sj = native.compact_sweep_ops_t(
+                        tr, fi, fj, s_codes[:n], t_codes[:n], flags,
+                    )
+                else:
+                    tr0, tr1, fi, fj = split_sweep_fused(
+                        np.asarray(rec["walk"]), n
+                    )
+                    g_ops, g_si, g_sj = native.compact_sweep_ops(
+                        tr0, tr1, fi, fj, s_codes[:n], t_codes[:n],
+                        flags,
+                    )
             else:
                 dminq = parity_adjusted_dmin(
                     dmin[:n], np.arange(n, dtype=np.int32) % 2
@@ -238,6 +307,11 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         n = len(idxs)
         n_pad = _bucket(n, mini=2 if with_transcripts else 8)
         bb = min(128, max(8, -(-((n_pad + 1) // 2) // 8) * 8))
+        # lane-packed vs sublane walk: see _LANE_WALK_MIN_B2 — narrow
+        # genome-segment launches keep the sublane walk
+        lane_walk = (use_pallas and with_transcripts and device_walk
+                     and (n_pad + 1) // 2 >= _LANE_WALK_MIN_B2
+                     and W % 128 == 0)
         est = n_pad * (LS + LT)
         if with_transcripts:
             # the dirs plane is allocated for the kernel's FULL padded
@@ -245,6 +319,10 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             # (minimum 8 rows) — a "single-pair" genome launch still
             # allocates 8 planes
             b2r = -(-((n_pad + 1) // 2) // bb) * bb
+            if lane_walk:
+                # the lane-packed walk's transpose+pad materializes a
+                # second, 128-lane-rounded copy of the plane
+                b2r += -(-b2r // 128) * 128
             est += b2r * (((LS + LT + 2 + 127) // 128) * 64) * W
         # drain BEFORE dispatching: this launch's dirs planes must fit
         # alongside whatever is still in flight (a genome-segment
@@ -267,56 +345,73 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             dmin[b] = dh - W + 1
             w_eff[b] = min(dh - dl + 1, W)
         ad = False
-        if use_pallas:
-            # the antidiagonal dual-pair kernel (the throughput path),
-            # score-only or with direction bytes.  It needs
-            # w_eff <= W - 1 (one lane of parity slack); extension bands
-            # are padded discovery rectangles, so dropping one diagonal
-            # is immaterial.
-            from .ops.pallas_dp_ad import banded_dp_pallas_ad
+        res = None
+        walk = None
+        if use_pallas and with_transcripts and device_walk:
+            # the antidiagonal dual-pair kernel + on-device sweep walk
+            # in ONE jitted dispatch (_dp_walk_fused): the walk ships a
+            # 2-bit-per-step op trace instead of the W/2-byte dirs
+            # plane — the D2H that dominated transcript mode (see
+            # ops/pallas_walk.py) — and the plane itself becomes an
+            # XLA intermediate, freed when the walk consumes it.
+            # Padding pairs are masked out (-1 ends) on device.
+            # Dispatched HERE so this launch overlaps the next
+            # launches' kernels.
+            from .ops.pallas_dp_ad import parity_adjusted_dmin
 
             ad = True
-            fn = banded_dp_pallas_ad
             w_eff = np.minimum(w_eff, W - 1)
-            # shrink the tile to the actual batch (the default 256-row
-            # tile would round a handful of megabase segments up to 512)
-            extra = {"with_dirs": with_transcripts, "block_b": bb}
-        else:
-            fn = banded_dp
-            extra = {"with_dirs": with_transcripts}
-        res = fn(
-            jnp.asarray(s_codes), jnp.asarray(t_codes),
-            jnp.asarray(s_lens), jnp.asarray(t_lens),
-            jnp.asarray(dmin), W=W, subst=subst,
-            go=float(go_score), ge=float(ge_score), flags=flags,
-            w_eff=jnp.asarray(w_eff), **extra,
-        )
-        walk = None
-        if with_transcripts and ad and device_walk:
-            # on-device sweep walk + host compaction: ships a 2-bit-
-            # per-step op trace instead of the W/2-byte dirs plane —
-            # the D2H that dominated transcript mode (see
-            # ops/pallas_walk.py).  Padding pairs are masked out
-            # (-1 ends) on device.  Dispatched HERE so the walk of this
-            # launch overlaps the next launches' kernels.
-            from .ops.pallas_dp_ad import parity_adjusted_dmin
-            from .ops.pallas_walk import traceback_sweep_fused
-
             dminq_p = parity_adjusted_dmin(
                 dmin, np.arange(n_pad, dtype=np.int32) % 2
             )
-            real = jnp.arange(n_pad, dtype=jnp.int32) < n
-            walk = traceback_sweep_fused(
-                res.dirs, jnp.asarray(dminq_p),
-                jnp.where(real, res.end_i.astype(jnp.int32), -1),
-                jnp.where(real, res.end_j.astype(jnp.int32), -1),
-                W=W,
-                block_b=min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
+            fused_fn = _dp_walk_fused_fn(
+                (subst.tobytes(), subst.shape), W, bb,
+                min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
+                bool(lane_walk), flags, float(go_score),
+                float(ge_score), bool(_interpret), int(_r_chunk),
+                _walk_r_rows,
             )
+            score_dev, walk = fused_fn(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens),
+                jnp.asarray(dmin), jnp.asarray(w_eff),
+                jnp.asarray(dminq_p),
+                jnp.asarray(np.arange(n_pad, dtype=np.int32) < n),
+            )
+        else:
+            if use_pallas:
+                # the antidiagonal dual-pair kernel (the throughput
+                # path), score-only or with direction bytes.  It needs
+                # w_eff <= W - 1 (one lane of parity slack); extension
+                # bands are padded discovery rectangles, so dropping
+                # one diagonal is immaterial.
+                from .ops.pallas_dp_ad import banded_dp_pallas_ad
+
+                ad = True
+                fn = banded_dp_pallas_ad
+                w_eff = np.minimum(w_eff, W - 1)
+                # shrink the tile to the actual batch (the default
+                # 256-row tile would round a handful of megabase
+                # segments up to 512)
+                extra = {"with_dirs": with_transcripts, "block_b": bb,
+                         "interpret": bool(_interpret),
+                         "r_chunk": int(_r_chunk)}
+            else:
+                fn = banded_dp
+                extra = {"with_dirs": with_transcripts}
+            res = fn(
+                jnp.asarray(s_codes), jnp.asarray(t_codes),
+                jnp.asarray(s_lens), jnp.asarray(t_lens),
+                jnp.asarray(dmin), W=W, subst=subst,
+                go=float(go_score), ge=float(ge_score), flags=flags,
+                w_eff=jnp.asarray(w_eff), **extra,
+            )
+            score_dev = res.score
         pending.append(dict(
-            idxs=idxs, n=n, res=res, s_codes=s_codes, t_codes=t_codes,
+            idxs=idxs, n=n, res=res, score=score_dev,
+            s_codes=s_codes, t_codes=t_codes,
             s_lens=s_lens, t_lens=t_lens, dmin=dmin, W=W, ad=ad,
-            walk=walk, bytes=est,
+            walk=walk, walk_t=bool(lane_walk), bytes=est,
         ))
         inflight[0] += est
 

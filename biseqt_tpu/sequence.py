@@ -163,7 +163,15 @@ def _mapping_table(alphabet: Alphabet, mappings) -> list:
     def as_code(x):
         if isinstance(x, str):
             return alphabet._index[x]
-        return int(x)
+        c = int(x)
+        # negative ints would silently wrap via list indexing (e.g. -1
+        # remapping the LAST letter); out-of-range positives would raise
+        # a bare IndexError at table[c] — fail loudly with the code named
+        if not 0 <= c < len(alphabet):
+            raise ValueError(
+                "letter code %d out of range for alphabet of size %d"
+                % (c, len(alphabet)))
+        return c
 
     if isinstance(mappings, dict):
         pairs = list(mappings.items())

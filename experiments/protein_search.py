@@ -197,7 +197,7 @@ def main():
         surv = sc >= thr
         recalls.append(surv[is_hom].mean())
         fracs.append(surv.mean())
-        agree &= np.allclose(rs[:idx.size], fsc[idx], atol=0)
+        agree &= np.array_equal(rs[:idx.size], fsc[idx])
     out["homolog_recall"] = round(float(np.mean(recalls)), 4)
     out["survivor_frac"] = round(float(np.mean(fracs)), 4)
     out["rescore_exact"] = bool(agree)
@@ -208,8 +208,8 @@ def main():
         threshold=thr, engine="pallas", groups=groups, **kw)
     out["api_matches"] = bool(
         np.array_equal(res0.survivor_idx, tiers[0][1])
-        and np.allclose(res0.full_scores[res0.survivor_idx],
-                        resc[0][:tiers[0][1].size], atol=0))
+        and np.array_equal(res0.full_scores[res0.survivor_idx],
+                           resc[0][:tiers[0][1].size]))
     print(json.dumps(out))
 
 

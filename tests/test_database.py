@@ -209,6 +209,17 @@ def test_load_fasta_rc_requires_complement_letters():
         db2.load_fasta(io.StringIO(">a\nAACG\n"), rc=True,
                        complement_map=["AZ"])
     assert len(db2) == 0
+    # integer-code maps: a negative code would silently wrap via list
+    # indexing (remapping the LAST letter) and then blow up mid-ingest
+    # with forward records already inserted; an out-of-range positive
+    # used to escape as a bare IndexError — both must be the same
+    # descriptive up-front ValueError with nothing inserted
+    for bad_map in ({-1: 0}, {5: 0}):
+        db3 = DB(":memory:", A4)
+        with pytest.raises(ValueError, match="complement_map"):
+            db3.load_fasta(io.StringIO(">a\nAACG\n"), rc=True,
+                           complement_map=bad_map)
+        assert len(db3) == 0
 
 
 def test_load_fasta_rc_keeps_unmapped_letters_fixed():

@@ -196,6 +196,12 @@ def test_as_kmer_keys_np_negative_and_edge_windows():
     c8 = np.array([3, 0, 2, 1, 3, 3], np.int8)
     assert as_kmer_keys_np(c8, 4, 4).tolist() == \
         as_kmer_keys_np(c8.astype(np.int64), 4, 4).tolist()
+    # float/object code arrays worked in the pre-vectorized tier —
+    # the in-place += path must coerce, not UFuncTypeError
+    assert as_kmer_keys_np(c8.astype(np.float64), 4, 4).tolist() == \
+        as_kmer_keys_np(c8, 4, 4).tolist()
+    cf = np.array([0.0, 1.0, -1.0, 2.0], np.float64)
+    assert as_kmer_keys_np(cf, 2, 4).tolist() == [1, -1, -1]
 
 
 def test_as_kmer_seq_wide_wordlen_fallback():

@@ -165,3 +165,62 @@ def test_extend_segments_shape_grouped(rng):
                                                     abs=1e-3)
         assert set(batched[k]["transcript"]) <= set("MSID")
         assert len(batched[k]["transcript"]) > 0
+
+
+def test_extend_segments_pallas_device_walk_interpret(rng, monkeypatch):
+    """The pipeline's fused DP + on-device-walk pallas path (both the
+    sublane walk and the round-5 lane-packed walk, interpret mode)
+    produces self-consistent transcripts, and the two walks agree
+    exactly (same dirs plane, same step semantics).
+
+    Guards the production transcript route of ``extend_segments``
+    (reference contract: pwlib dptable solve + traceback), which the
+    lax-path tests above never touch."""
+    from biseqt_tpu import native
+    from biseqt_tpu.pw import Alignment
+    import biseqt_tpu.pipeline as pipeline_mod
+
+    if not native.available():
+        pytest.skip("native library unavailable (sweep compactor)")
+
+    M = MutationProcess(A4, subst_probs=0.08, go_prob=0.03, ge_prob=0.1,
+                        rng=rng)
+    # tiny on purpose: interpret-mode Pallas simulates the kernels
+    # step by step, so each launch costs minutes at the other tests'
+    # sizes (CLAUDE.md: keep interpret-mode kernel tests small)
+    cores = [rand_seq(A4, 100, rng=rng) for _ in range(2)]
+    sp = lambda n: rand_seq(A4, n, rng=rng)
+    S = sp(40) + cores[0] + sp(60) + cores[1]
+    T = sp(30) + M.mutate(cores[0])[0] + sp(120) + M.mutate(cores[1])[0]
+    wb = WordBlot(S, T, wordlen=8, g_max=0.2)
+    segments = list(wb.similar_segments(K_min=60, p_min=0.6))
+    assert len(segments) >= 2
+    subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
+
+    outs = {}
+    for label, lane_min in (("sublane", 10 ** 9), ("lane_packed", 1)):
+        monkeypatch.setattr(pipeline_mod, "_LANE_WALK_MIN_B2", lane_min)
+        outs[label] = extend_segments(
+            S, T, segments, subst=subst, go_score=-3.0, ge_score=-1.0,
+            use_pallas=True, with_transcripts=True, _interpret=True,
+            # small chunks keep the unrolled interpret-mode CPU
+            # compile tractable (see tests/test_pallas_dp_ad.py)
+            _r_chunk=16, _walk_r_rows=8,
+        )
+    for label, out in outs.items():
+        for seg in out:
+            assert set(seg["transcript"]) <= set("MSID"), label
+            aln = Alignment(
+                S, T, seg["transcript"],
+                origin_start=seg["origin_start"],
+                mutate_start=seg["mutate_start"],
+            )
+            rescored = aln.calculate_score(subst, -3.0, -1.0)
+            assert rescored == pytest.approx(seg["score"], abs=1e-3), (
+                label, seg)
+            assert len(seg["transcript"]) > 60, label
+    for a, b in zip(outs["sublane"], outs["lane_packed"]):
+        assert a["transcript"] == b["transcript"]
+        assert a["score"] == b["score"]
+        assert (a["origin_start"], a["mutate_start"]) == (
+            b["origin_start"], b["mutate_start"])
