@@ -299,7 +299,9 @@ def main():
         "metric": "banded_sw_gcups",
         "value": round(gcups, 2),
         "value_runs": gcups_runs,
-        "value_min": min(gcups_ss),
+        # renamed from value_min (rounds <= 4: min over ALL runs, fill
+        # included) so the semantic change is visible in the JSON
+        "value_min_steady": min(gcups_ss),
         "value_mean_incl_fill": round(gcups_mean_fill, 2),
         "unit": "GCUPS/chip",
         "vs_baseline": round(gcups / 50.0, 3),

@@ -39,7 +39,14 @@ __all__ = ["discover_and_extend", "extend_segments"]
 _LANE_WALK_MIN_B2 = 64
 
 
-@functools.lru_cache(maxsize=16)
+# unbounded on purpose: each entry holds a jax.jit wrapper whose
+# compiled executables are exactly what must survive — evicting one
+# forces a remote recompile (seconds to minutes in this environment)
+# the next time its (W, bb, flags, ...) family recurs, and a serving
+# loop cycling through >maxsize shape families would thrash.  Entries
+# are small (a closure + jit cache); key diversity is bounded by the
+# workload's shape-bucket diversity.
+@functools.lru_cache(maxsize=None)
 def _dp_walk_fused_fn(subst_key, W: int, block_b: int,
                       walk_block_b: int, lane_packed: bool,
                       flags: ModeFlags, go: float, ge: float,
@@ -306,11 +313,12 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
         # segments up to 8 rows OOMed the 5 Mbp transcripts run
         n = len(idxs)
         n_pad = _bucket(n, mini=2 if with_transcripts else 8)
-        bb = min(128, max(8, -(-((n_pad + 1) // 2) // 8) * 8))
+        b2 = (n_pad + 1) // 2           # dual-pair plane rows
+        bb = min(128, max(8, -(-b2 // 8) * 8))
         # lane-packed vs sublane walk: see _LANE_WALK_MIN_B2 — narrow
         # genome-segment launches keep the sublane walk
         lane_walk = (use_pallas and with_transcripts and device_walk
-                     and (n_pad + 1) // 2 >= _LANE_WALK_MIN_B2
+                     and b2 >= _LANE_WALK_MIN_B2
                      and W % 128 == 0)
         est = n_pad * (LS + LT)
         if with_transcripts:
@@ -318,7 +326,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             # tile grid: Bp2 rounds ceil(n_pad / 2) up to the tile size
             # (minimum 8 rows) — a "single-pair" genome launch still
             # allocates 8 planes
-            b2r = -(-((n_pad + 1) // 2) // bb) * bb
+            b2r = -(-b2 // bb) * bb
             if lane_walk:
                 # the lane-packed walk's transpose+pad materializes a
                 # second, 128-lane-rounded copy of the plane
@@ -366,8 +374,7 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
             )
             fused_fn = _dp_walk_fused_fn(
                 (subst.tobytes(), subst.shape), W, bb,
-                min(64, max(8, -(-((n_pad + 1) // 2) // 8) * 8)),
-                bool(lane_walk), flags, float(go_score),
+                min(64, bb), bool(lane_walk), flags, float(go_score),
                 float(ge_score), bool(_interpret), int(_r_chunk),
                 _walk_r_rows,
             )

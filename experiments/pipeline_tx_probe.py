@@ -83,6 +83,15 @@ def main():
     subst = np.where(np.eye(4, dtype=bool), 1.0, -1.0).astype(np.float32)
     rng = np.random.default_rng(11)
 
+    # the lane_packed label must actually fire the lane-packed gate
+    # (b2 >= lane_min AND W % 128 == 0), or both legs silently measure
+    # the sublane walk and the comparison is vacuous
+    from biseqt_tpu.pipeline import _bucket
+    n_pad = _bucket(args.n, mini=2)
+    assert (n_pad + 1) // 2 >= 64, (
+        "--n %d too narrow for the lane-packed gate (needs >= 127 "
+        "pairs after batch bucketing)" % args.n)
+
     out = {"metric": "pipeline_transcripts",
            "n_segments": args.n, "core_len": args.core_len}
     # the two walks must agree EXACTLY on a shared workload (same dirs
@@ -103,7 +112,9 @@ def main():
             dt, cells, res = run_once(S, T, segments, lane_min, subst)
             rates.append(round(cells / dt / 1e9, 2))
         out[label + "_gcups_runs"] = rates
-        out[label + "_gcups"] = max(rates)
+        # median, not max: the tunnel's D2H swings run to run and one
+        # lucky rep would overstate the routing ratio
+        out[label + "_gcups"] = round(float(np.median(rates)), 2)
     assert results0["lane_packed"] == results0["sublane"], \
         "lane-packed and sublane pipeline walks disagree"
     out["walks_agree"] = True
