@@ -38,6 +38,11 @@ from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
 from biseqt_tpu.protein import (compress_codes, null_threshold,
                                 two_tier_scores)
 
+# bench.py's uniform-DNA headline under the SAME steady-state-median
+# convention (round 5: 64.9, runs 61.9-66.6) — the denominator of
+# eff_vs_uniform_dna.  Update when the bench headline moves.
+UNIFORM_DNA_STEADY = 64.9
+
 
 def mk_batch(rng, B, L, hom_frac=0.1, sub_rate=0.25):
     ss = rng.integers(0, 20, (B, L), dtype=np.int8)
@@ -105,7 +110,7 @@ def main():
     # batch set: the tunnel caches identical executions, so reusing the
     # filter leg's batches inside the two-tier leg would fake its
     # filter pass.
-    n = 2 if args.quick else 3
+    n = 2 if args.quick else 4
     setA = [mk_batch(rng, B, L) for _ in range(n)]   # full-only leg
     setB = [mk_batch(rng, B, L) for _ in range(n)]   # filter leg
     setC = [mk_batch(rng, B, L) for _ in range(n)]   # two-tier leg
@@ -125,11 +130,21 @@ def main():
         _ = np.asarray(jnp.ravel(pair[0])[:1].astype(jnp.int32)
                        + jnp.ravel(pair[1])[:1].astype(jnp.int32))
 
+    def steady(ts, t0):
+        """Median per-run delta EXCLUDING the first (which absorbs the
+        whole pipeline fill — all launch dispatches + first-run
+        latency; same convention as bench.py's headline)."""
+        d = np.diff([t0] + ts)
+        return float(np.median(d[1:])) if len(d) > 1 else float(d[0])
+
     def pipeline(pairs, mat):
         t0 = time.perf_counter()
         outs = [run_pallas(a, b, mat).score for a, b in pairs]
-        scs = [np.asarray(o) for o in outs]
-        return scs, (time.perf_counter() - t0) / len(pairs)
+        scs, ts = [], []
+        for o in outs:
+            scs.append(np.asarray(o))
+            ts.append(time.perf_counter())
+        return scs, steady(ts, t0)
 
     # full-matrix-only (what the single-pass kernel offers)
     _ = np.asarray(run_pallas(*warm[:2], BLOSUM62).score)  # compile
@@ -169,12 +184,13 @@ def main():
 
     t0 = time.perf_counter()
     fouts = [run_pallas(a, b, red).score for a, b in devC_red]
-    tiers, routs = [], []
+    tiers, routs, f_ts = [], [], []
     for k, o in enumerate(fouts):
         # interleave: batch k's rescore launches while batches k+1..n
-        # are still filtering/materializing — the rescore compute hides
-        # behind the filter stream instead of serializing after it
+        # are still filtering/materializing — the rescore dispatch cost
+        # hides behind the filter stream instead of serializing after it
         sc = np.asarray(o)
+        f_ts.append(time.perf_counter())
         idx = np.flatnonzero(sc >= thr).astype(np.int32)
         tiers.append((sc, idx))
         Sp = bucket_up(max(idx.size, 1))
@@ -182,11 +198,26 @@ def main():
             [idx, np.full((Sp - idx.size,), idx[0] if idx.size else 0,
                           np.int32)])
         routs.append(rescore_gather(*devC_full[k], jnp.asarray(pad)))
-    resc = [np.asarray(o) for o in routs]
-    dt_tt = (time.perf_counter() - t0) / n
+    resc, r_ts = [], []
+    for o in routs:
+        resc.append(np.asarray(o))
+        r_ts.append(time.perf_counter())
+    # steady-state per-batch cost = filter service + rescore service.
+    # The device queue is FIFO: every rescore is enqueued BEHIND the
+    # remaining filters, so deltas between the trailing rescore
+    # materializations measure the rescore leg ALONE (timing only
+    # those deltas once reported 132 GCUPS "effective" — 2x uniform,
+    # i.e. faster than the filter itself, impossible); the filter
+    # deltas (which also carry the host thresholding between
+    # materializations) must be added back.
+    dt_filt_leg = steady(f_ts, t0)
+    dt_resc_leg = (float(np.median(np.diff(r_ts))) if len(r_ts) > 1
+                   else r_ts[0] - f_ts[-1])
+    dt_tt = dt_filt_leg + dt_resc_leg
     out["gcups_two_tier"] = round(cells / dt_tt / 1e9, 2)
     out["speedup_vs_full_only"] = round(dt_full / dt_tt, 2)
-    out["eff_vs_uniform_dna"] = round((cells / dt_tt / 1e9) / 56.7, 3)
+    out["eff_vs_uniform_dna"] = round(
+        (cells / dt_tt / 1e9) / UNIFORM_DNA_STEADY, 3)
 
     # ---- accuracy (on the two-tier leg's batches, untimed) ----
     fullC = [np.asarray(run_pallas(a, b, BLOSUM62).score)
