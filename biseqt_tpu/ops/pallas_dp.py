@@ -479,7 +479,7 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
     if with_dirs:
-        out_specs = out_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        out_specs = out_specs + [pl.BlockSpec(memory_space=pl.ANY)]
         out_shape = out_shape + [
             jax.ShapeDtypeStruct((Bp, LSp, W), jnp.uint8)
         ]
@@ -500,8 +500,8 @@ def _banded_dp_pallas_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
             vspec((BT, 1)),
             pl.BlockSpec((1, A * A), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # s codes (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # t2 stream (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # s codes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # t2 stream (HBM)
         ],
         out_specs=out_specs,
         out_shape=out_shape,

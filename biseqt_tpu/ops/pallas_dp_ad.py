@@ -791,7 +791,7 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
     ]
     if with_dirs:
         out_specs = out_specs + [
-            pl.BlockSpec(memory_space=pltpu.ANY),       # dirs (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # dirs (HBM)
             vspec((BT, W)), vspec((BT, W)),             # Ma / Mb
             vspec((BT, W)), vspec((BT, W)),             # Aa / Ab
         ]
@@ -823,8 +823,8 @@ def _banded_dp_pallas_ad_jit(s_codes, t_codes, s_lens, t_lens, dmin, subst,
         in_specs=[vspec((BT, 1))] * 10 + [
             pl.BlockSpec((1, A * A), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # si (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tir (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # si (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # tir (HBM)
         ],
         out_specs=out_specs,
         out_shape=out_shape,

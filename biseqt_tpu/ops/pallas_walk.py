@@ -391,10 +391,10 @@ def traceback_sweep(dirs, dminq, end_i, end_j, *, W: int,
     out = pl.pallas_call(
         kernel,
         grid=(Bp2 // BT,),
-        in_specs=[vspec()] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[vspec()] * 6 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[vspec()] * 4 + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp2, 1), jnp.int32),
@@ -684,9 +684,9 @@ def traceback_sweep_t(dirs, dminq, end_i, end_j, *, W: int,
     out = pl.pallas_call(
         kernel,
         grid=(Bcols // BL,),
-        in_specs=[vspec()] * 3 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[vspec()] * 3 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[vspec(), vspec(),
-                   pl.BlockSpec(memory_space=pltpu.ANY)],
+                   pl.BlockSpec(memory_space=pl.ANY)],
         out_shape=[
             jax.ShapeDtypeStruct((2, Bcols), jnp.int32),
             jax.ShapeDtypeStruct((2, Bcols), jnp.int32),
