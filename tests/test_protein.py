@@ -220,3 +220,47 @@ def test_two_tier_survivor_transcripts(rng):
     for k in range(S):
         assert got_ops[k] == ref_ops[k], k
         assert len(got_ops[k]) > 0
+
+
+def test_protein_seed_and_extend_reduced_alphabet(rng):
+    """Full protein seed-and-extend: Word-Blot DISCOVERS homology on
+    Dayhoff-6 reduced codes (reduce_seq feeding the k-mer/seed layers,
+    as docs/parity.md claims), then extend_segments rescores the
+    candidates on the ORIGINAL 20-letter sequences with BLOSUM62 and
+    emits transcripts — the reference's protein workflow end to end.
+    Reduction is position-preserving, so discovered (d, a) coordinates
+    carry over to the unreduced pair unchanged."""
+    from biseqt_tpu.blot import WordBlot
+    from biseqt_tpu.pipeline import extend_segments
+    from biseqt_tpu.pw import Alignment
+    from biseqt_tpu.stochastics import MutationProcess, rand_seq
+
+    A20 = protein_alphabet()
+    M = MutationProcess(A20, subst_probs=0.15, go_prob=0.02,
+                        ge_prob=0.1, rng=rng)
+    core = rand_seq(A20, 400, rng=rng)
+    S = rand_seq(A20, 200, rng=rng) + core + rand_seq(A20, 200, rng=rng)
+    T = (rand_seq(A20, 120, rng=rng) + M.mutate(core)[0]
+         + rand_seq(A20, 280, rng=rng))
+    redS, redT = reduce_seq(S), reduce_seq(T)
+    assert len(redS.alphabet) == 6 and len(redS) == len(S)
+    wb = WordBlot(redS, redT, wordlen=6, g_max=0.2)
+    segments = list(wb.similar_segments(K_min=150, p_min=0.7))
+    assert segments, "reduced-alphabet discovery found nothing"
+    out = extend_segments(
+        S, T, segments, subst=BLOSUM62, go_score=-11.0, ge_score=-1.0,
+        use_pallas=False, with_transcripts=True)
+    best = max(out, key=lambda seg: seg["score"])
+    assert best["score"] > 200, best["score"]
+    # the transcript rescores to exactly the reported BLOSUM62 score
+    aln = Alignment(S, T, best["transcript"],
+                    origin_start=best["origin_start"],
+                    mutate_start=best["mutate_start"])
+    assert aln.calculate_score(BLOSUM62, -11.0, -1.0) == pytest.approx(
+        best["score"], abs=1e-2)
+    # and it covers most of the planted core
+    assert len(best["transcript"]) > 300
+    # coordinates land inside the planted homology (core at S[200:600],
+    # its mutation at T[120:...])
+    assert 150 <= best["origin_start"] <= 650
+    assert 70 <= best["mutate_start"] <= 600
