@@ -27,6 +27,20 @@ import time
 import numpy as np
 
 
+def steady_runs(t0, ts, cells):
+    """Completion-delta accounting shared by every pipelined leg.
+
+    Returns ``(dt_steady, runs)``: the STEADY-STATE median per-run
+    delta (the first delta is excluded — it absorbs the one-time
+    pipeline fill: all launch dispatches + first-run latency, which a
+    production stream amortizes away) and the per-run GCUPS list
+    (fill delta included, for transparency)."""
+    dts = np.diff([t0] + list(ts))
+    runs = [round(cells / d / 1e9, 2) for d in dts]
+    dt = float(np.median(dts[1:])) if len(dts) > 1 else float(dts[0])
+    return dt, runs
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -84,22 +98,18 @@ def main():
     for o in outs:
         _ = np.asarray(o)  # force completion + D2H of every run
         run_ts.append(time.time())
-    dt = (run_ts[-1] - t0) / n
-    run_dts = np.diff([t0] + run_ts)
 
     cells = B * 10000 * BW  # true band cells per run
-    gcups_mean_fill = cells / dt / 1e9
-    gcups_runs = [round(cells / d / 1e9, 2) for d in run_dts]
-    # the headline is the STEADY-STATE median: the first delta absorbs
-    # the whole pipeline fill (all n launch dispatches + first-run
-    # latency — measured ~0.5 s vs ~34 ms steady-state on the device
-    # leg), a ONE-TIME cost a production stream amortizes away; folding
-    # it into a mean over n=6 charges every run ~1/6 of it, and makes
-    # min/median report fill latency instead of the slowest real run.
-    # The fill-inclusive mean stays in the JSON (value_mean_incl_fill)
-    # for continuity with rounds <= 4, whose "value" was that mean.
+    gcups_mean_fill = cells * n / (run_ts[-1] - t0) / 1e9
+    # the headline is the STEADY-STATE median (steady_runs): folding
+    # the one-time fill into a mean over n=6 charges every run ~1/6 of
+    # it and makes min/median report fill latency instead of the
+    # slowest real run.  The fill-inclusive mean stays in the JSON
+    # (value_mean_incl_fill) for continuity with rounds <= 4, whose
+    # "value" was that mean.
+    dt_ss, gcups_runs = steady_runs(t0, run_ts, cells)
+    gcups = cells / dt_ss / 1e9
     gcups_ss = gcups_runs[1:] if len(gcups_runs) > 1 else gcups_runs
-    gcups = float(np.median(gcups_ss))
 
     # transcript mode (the reference's dptable_solve + dptable_traceback
     # contract): same kernel with nibble-packed direction planes streamed
@@ -152,6 +162,7 @@ def main():
     res = banded_dp_pallas_ad(*mkargs(9), w_eff=w_eff, with_dirs=True,
                               **kw)
     _ = np.asarray(res.score)  # compile
+    del res  # the warmup's ~2.7 GB dirs plane must not survive the leg
     # nd capped at 3: each batch keeps a ~2.7 GB dirs plane alive until
     # the del below (v5e HBM is 16 GB)
     nd = 3
@@ -166,13 +177,8 @@ def main():
     for o in outs_d:
         _ = np.asarray(o.score)
         dk_ts.append(time.time())
-    # steady-state median, same convention as the headline (the first
-    # delta absorbs the pipeline fill)
-    dk_dts = np.diff([t0] + dk_ts)
-    dt_dk = float(np.median(dk_dts[1:])) if nd > 1 else float(dk_dts[0])
-    gcups_dirs_kernel = B * 10000 * BW / dt_dk / 1e9
-    gcups_dirs_runs = [
-        round(B * 10000 * BW / d / 1e9, 2) for d in dk_dts]
+    dt_dk, gcups_dirs_runs = steady_runs(t0, dk_ts, cells)
+    gcups_dirs_kernel = cells / dt_dk / 1e9
     del outs_d   # free the dirs planes before the e2e leg
 
     # (b) end-to-end transcripts via the ON-DEVICE sweep walk
@@ -240,12 +246,9 @@ def main():
     for o in douts:
         _ = np.asarray(o[1])
         dev_ts.append(time.time())
-    dev_dts = np.diff([t0] + dev_ts)
-    dt_dev = float(np.median(dev_dts[1:]))   # steady-state median
     cells_d = Bd * 10000 * BW
+    dt_dev, gcups_tx_device_runs = steady_runs(t0, dev_ts, cells_d)
     gcups_tx_device = cells_d / dt_dev / 1e9
-    gcups_tx_device_runs = [
-        round(cells_d / d / 1e9, 2) for d in dev_dts]
     del douts
 
     nd_tx = 5
@@ -280,12 +283,9 @@ def main():
             tr, fi, fj, hosts[k][0], hosts[k][1], fl)
         n_ops += sum(len(o) for o in opss)
         tx_ts.append(time.time())
-    tx_dts = np.diff([t0] + tx_ts)
-    dt_tx = float(np.median(tx_dts[1:]))     # steady-state median
+    dt_tx, gcups_tx_runs = steady_runs(t0, tx_ts, cells_d)
     assert n_ops > 0
     gcups_tx = cells_d / dt_tx / 1e9
-    gcups_tx_runs = [
-        round(cells_d / d / 1e9, 2) for d in tx_dts]
 
     # (c) the legacy host-walk path's D2H artifact, reported so the
     # environment's ~20-60 MB/s tunnel (vs 10-30 GB/s production PCIe)

@@ -211,8 +211,8 @@ def main():
     # deltas (which also carry the host thresholding between
     # materializations) must be added back.
     dt_filt_leg = steady(f_ts, t0)
-    dt_resc_leg = (float(np.median(np.diff(r_ts))) if len(r_ts) > 1
-                   else r_ts[0] - f_ts[-1])
+    assert len(r_ts) >= 2   # n >= 2 always; diff needs two completions
+    dt_resc_leg = float(np.median(np.diff(r_ts)))
     dt_tt = dt_filt_leg + dt_resc_leg
     out["gcups_two_tier"] = round(cells / dt_tt / 1e9, 2)
     out["speedup_vs_full_only"] = round(dt_full / dt_tt, 2)
