@@ -147,6 +147,19 @@ def extend_segments(S: Sequence, T: Sequence, segments: List[Dict], *,
     t_arr = T.to_array()
 
     if with_transcripts:
+        # every transcript route compacts traces with the C++ tier —
+        # fail HERE with a clear message instead of deep in _finish
+        # after device launches are already in flight
+        from . import native
+
+        if not native.available():
+            raise RuntimeError(
+                "extend_segments(with_transcripts=True) compacts op "
+                "traces with the native C++ tier, which is unavailable "
+                "(no prebuilt libpwnative.so and the build failed — is "
+                "a C++ toolchain installed?); run score-only "
+                "(with_transcripts=False) or build biseqt_tpu/native")
+
         # transcript launches allocate a dirs plane of ~(a-range / 2) * W
         # bytes per pair-row on device.  Discovery merges consecutive
         # in-order blocks into multi-Mbp segments (a 4 Mbp segment at

@@ -224,3 +224,17 @@ def test_extend_segments_pallas_device_walk_interpret(rng, monkeypatch):
         assert a["score"] == b["score"]
         assert (a["origin_start"], a["mutate_start"]) == (
             b["origin_start"], b["mutate_start"])
+
+
+def test_extend_segments_transcripts_native_unavailable(rng, monkeypatch):
+    """with_transcripts=True fails up front with a clear message when
+    the native tier is missing (every transcript route compacts with
+    C++) — not deep in _finish after launches are in flight."""
+    from biseqt_tpu import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    S = rand_seq(A4, 100, rng=rng)
+    seg = {"segment": ((-10, 10), (0, 200))}
+    with pytest.raises(RuntimeError, match="native C\\+\\+ tier"):
+        extend_segments(S, S, [seg], use_pallas=False,
+                        with_transcripts=True)
