@@ -433,8 +433,18 @@ int bst_compact_sweep_batch(
         const int8_t* tb = t + (size_t)b * lt_cap;
         bool bad = false;
         if (anchored) {
-            for (int k = 0; k < i; ++k) ops[n++] = 'D';
-            for (int k = 0; k < j; ++k) ops[n++] = 'I';
+            // same capacity guard as the replay loop: the prefix is
+            // fin-cursor-sized and fin cursors come from the device
+            // walk today, but a corrupt/foreign cursor must trip the
+            // -1 sentinel, not overflow into the next pair's row
+            for (int k = 0; k < i && !bad; ++k) {
+                if (n >= ops_stride - 1) bad = true;
+                else ops[n++] = 'D';
+            }
+            for (int k = 0; k < j && !bad; ++k) {
+                if (n >= ops_stride - 1) bad = true;
+                else ops[n++] = 'I';
+            }
         }
         for (long a = i + j; a < atr && !bad; ++a) {
             uint8_t op = (plane[a >> 2] >> (2 * (a & 3))) & 3;
@@ -482,8 +492,18 @@ int bst_compact_sweep_batch_t(
         const int8_t* tb = t + (size_t)b * lt_cap;
         bool bad = false;
         if (anchored) {
-            for (int k = 0; k < i; ++k) ops[n++] = 'D';
-            for (int k = 0; k < j; ++k) ops[n++] = 'I';
+            // same capacity guard as the replay loop: the prefix is
+            // fin-cursor-sized and fin cursors come from the device
+            // walk today, but a corrupt/foreign cursor must trip the
+            // -1 sentinel, not overflow into the next pair's row
+            for (int k = 0; k < i && !bad; ++k) {
+                if (n >= ops_stride - 1) bad = true;
+                else ops[n++] = 'D';
+            }
+            for (int k = 0; k < j && !bad; ++k) {
+                if (n >= ops_stride - 1) bad = true;
+                else ops[n++] = 'I';
+            }
         }
         for (long a = i + j; a < atr && !bad; ++a) {
             uint8_t op =

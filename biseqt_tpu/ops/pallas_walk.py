@@ -58,6 +58,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _lane_block(B2: int, W: int, col_block: int) -> int:
+    """Lane-block width for the lane-packed walk (traceback_sweep_t).
+
+    The VMEM working set scales as RC*W*BL: dbuf holds 2 chunks of
+    [RC, W, BL] uint8 and the unrolled body materializes their i32
+    nibble splits (single-assignment stack slots — see CLAUDE.md).
+    ``col_block`` calibrates the census shape (W=128, BL=1024, ~60 MB
+    under the 100 MB vmem_limit); wider bands reach this path through
+    the pipeline's W % 128 == 0 lane gate (bucketed 256/384/512...),
+    so shrink the lane block proportionally to keep the same budget
+    instead of failing the compile with a Mosaic VMEM OOM."""
+    cb_eff = max(128, (int(col_block) * 128 // max(W, 128)) // 128 * 128)
+    return min(_round_up(B2, 128), cb_eff)
+
+
 def _kernel(dq0_ref, dq1_ref, ei0_ref, ei1_ref, ej0_ref, ej1_ref,
             dirs_hbm,
             fi0_ref, fi1_ref, fj0_ref, fj1_ref, tr0_hbm, tr1_hbm,
@@ -656,13 +671,18 @@ def traceback_sweep_t(dirs, dminq, end_i, end_j, *, W: int,
     if B2 == 0 or Rp == 0:
         return (jnp.zeros((2, 0, B2), jnp.uint8),
                 end_i.astype(jnp.int32), end_j.astype(jnp.int32))
+    BL = _lane_block(B2, W, col_block)
     RC = min(max(int(r_rows), 4), max(Rp, 4), 256)
     RC = 1 << (RC.bit_length() - 1)            # power of two, >= 4
+    # second VMEM guard: _lane_block floors BL at 128 lanes, so at
+    # extreme W the RC*W*BL working set can still exceed the census
+    # calibration (r_rows=32, W=128, BL=1024 ~ 60 MB) — halve the row
+    # chunk until it fits (RC >= 4 keeps the trace tile >= 2 byte rows)
+    while RC > 4 and RC * W * BL > 32 * 128 * 1024:
+        RC //= 2
     Rpp = _round_up(Rp, RC)
     if Rpp != Rp:
         dirs = jnp.pad(dirs, ((0, Rpp - Rp), (0, 0), (0, 0)))
-    BL = min(_round_up(B2, 128), int(col_block))
-    BL = _round_up(BL, 128)
     Bcols = _round_up(B2, BL)
     if Bcols != B2:
         dirs = jnp.pad(dirs, ((0, 0), (0, 0), (0, Bcols - B2)))

@@ -114,7 +114,21 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
     The survivor batch is compacted and padded to a size bucket so
     repeated calls reuse compiled variants (every distinct jit shape is
     a remote compile in this environment).
+
+    ``engine_opts`` is forwarded to the underlying DP engine on BOTH
+    engines (extra keyword arguments the engine itself validates); it
+    may not override arguments this function derives (``W``, ``subst``,
+    ``with_dirs``, ...).  ``block_b`` is a pallas-engine tile size and
+    is ignored by the lax engine.
     """
+    engine_opts = dict(engine_opts or {})
+    _reserved = {"s_codes", "t_codes", "s_lens", "t_lens", "dmin", "W",
+                 "subst", "A", "go", "ge", "flags", "w_eff", "with_dirs"}
+    bad = _reserved & set(engine_opts)
+    if bad:
+        raise ValueError(
+            "engine_opts may not override arguments two_tier_scores "
+            f"sets itself: {sorted(bad)} — pass them as named arguments")
     if subst is None:
         subst = BLOSUM62
     cmap = compression_map(groups)
@@ -141,7 +155,7 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
             # select chain — force packed for the filter tier
             packed = True if 4 < A < 8 else None
             opts = dict(block_b=block_b, _subst_packed=packed)
-            opts.update(engine_opts or {})   # caller opts win
+            opts.update(engine_opts)   # caller opts win
             return banded_dp_pallas_ad(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(sl),
                 jnp.asarray(tl), jnp.asarray(dm), W=W,
@@ -153,7 +167,7 @@ def two_tier_scores(ss, ts, s_lens, t_lens, dmin, *, W: int, go, ge,
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(sl),
                 jnp.asarray(tl), jnp.asarray(dm), W=W,
                 subst=jnp.asarray(mat), go=go, ge=ge, flags=flags,
-                w_eff=jnp.asarray(we), with_dirs=dirs)
+                w_eff=jnp.asarray(we), with_dirs=dirs, **engine_opts)
     else:
         raise ValueError("engine must be 'pallas' or 'lax'")
 

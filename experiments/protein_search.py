@@ -30,13 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench import steady_runs
 from biseqt_tpu.matrices import (BLOSUM62, DAYHOFF6_GROUPS,
                                  MURPHY4_GROUPS, MURPHY10_GROUPS,
                                  reduced_matrix, compression_map)
 from biseqt_tpu.ops.banded_dp import ModeFlags
 from biseqt_tpu.ops.pallas_dp_ad import banded_dp_pallas_ad
-from biseqt_tpu.protein import (compress_codes, null_threshold,
-                                two_tier_scores)
+from biseqt_tpu.protein import (_bucket_up, compress_codes,
+                                null_threshold, two_tier_scores)
 
 # bench.py's uniform-DNA headline under the SAME steady-state-median
 # convention (round 5: 64.9, runs 61.9-66.6) — the denominator of
@@ -81,10 +82,15 @@ def main():
     rng = np.random.default_rng(11)
 
     def run_pallas(a, b, mat):
+        A = int(np.asarray(mat).shape[0])
+        # force packed planes for 4 < A < 8 exactly like the production
+        # filter tier (protein.two_tier_scores) — the kernel's auto
+        # choice would put Dayhoff-6 on the A^2 select chain and this
+        # harness would time a path production never runs
         return banded_dp_pallas_ad(
             jnp.asarray(a), jnp.asarray(b), jnp.asarray(lens),
-            jnp.asarray(lens), jnp.asarray(dmin), subst=mat,
-            A=int(np.asarray(mat).shape[0]),
+            jnp.asarray(lens), jnp.asarray(dmin), subst=mat, A=A,
+            _subst_packed=True if 4 < A < 8 else None,
             w_eff=jnp.asarray(w_eff), block_b=128, **kw)
 
     # ---- null calibration (shuffled pairs, reduced tier) ----
@@ -130,21 +136,16 @@ def main():
         _ = np.asarray(jnp.ravel(pair[0])[:1].astype(jnp.int32)
                        + jnp.ravel(pair[1])[:1].astype(jnp.int32))
 
-    def steady(ts, t0):
-        """Median per-run delta EXCLUDING the first (which absorbs the
-        whole pipeline fill — all launch dispatches + first-run
-        latency; same convention as bench.py's headline)."""
-        d = np.diff([t0] + ts)
-        return float(np.median(d[1:])) if len(d) > 1 else float(d[0])
-
     def pipeline(pairs, mat):
+        # steady-state median per-run delta, first delta (pipeline
+        # fill) excluded — bench.py's shared accounting
         t0 = time.perf_counter()
         outs = [run_pallas(a, b, mat).score for a, b in pairs]
         scs, ts = [], []
         for o in outs:
             scs.append(np.asarray(o))
             ts.append(time.perf_counter())
-        return scs, steady(ts, t0)
+        return scs, steady_runs(t0, ts, cells)[0]
 
     # full-matrix-only (what the single-pass kernel offers)
     _ = np.asarray(run_pallas(*warm[:2], BLOSUM62).score)  # compile
@@ -159,11 +160,10 @@ def main():
     # two-tier end to end: pipelined filter -> host threshold ->
     # device row-gather of survivors -> pipelined rescore, ONE jitted
     # dispatch per rescore (gather + compacted DP fused)
-    def bucket_up(m, mini=256):
-        b = mini
-        while b < m:
-            b *= 2
-        return b
+    # the survivor bucket must match two_tier_scores' exactly (same
+    # helper, same mini derivation from block_b=128) or the warm
+    # compile below misses and api_matches drifts from the timed flow
+    bucket_up = lambda m: _bucket_up(m, mini=min(2 * 128, max(B, 1)))
 
     @jax.jit
     def rescore_gather(a, b, idx):
@@ -210,7 +210,7 @@ def main():
     # i.e. faster than the filter itself, impossible); the filter
     # deltas (which also carry the host thresholding between
     # materializations) must be added back.
-    dt_filt_leg = steady(f_ts, t0)
+    dt_filt_leg = steady_runs(t0, f_ts, cells)[0]
     assert len(r_ts) >= 2   # n >= 2 always; diff needs two completions
     dt_resc_leg = float(np.median(np.diff(r_ts)))
     dt_tt = dt_filt_leg + dt_resc_leg

@@ -356,6 +356,49 @@ def test_lane_packed_walk_col_blocks(rng):
             np.asarray(outs[0][k]), np.asarray(outs[1][k]))
 
 
+def test_lane_block_scales_down_with_band_width():
+    """Round-5 regression: the pipeline's lane gate admits any
+    W % 128 == 0 bucket (256/384/512...), and at W=256 the default
+    col_block=1024 lane block put the RC*W*BL working set (~16 MB dirs
+    chunks + ~96 MB of unrolled i32 nibble splits) over the 100 MB
+    Mosaic VMEM limit — a compile-time OOM instead of a transcript.
+    The lane block must shrink proportionally with W."""
+    from biseqt_tpu.ops.pallas_walk import _lane_block
+    for cb in (1024, 512, 128):
+        for W in (128, 256, 384, 512, 1024):
+            BL = _lane_block(10 ** 9, W, cb)
+            assert BL % 128 == 0 and BL >= 128
+            # W=128 budget preserved (the floor of 128 lanes may
+            # exceed it only where traceback_sweep_t's RC guard
+            # then halves the row chunk)
+            assert W * BL <= max(128 * cb, 128 * W)
+        assert _lane_block(10 ** 9, 128, cb) == cb
+
+
+def test_lane_packed_walk_wide_band_parity(rng):
+    """W=256 through both lane-block regimes: the W-shrunk block
+    (col_block=256 -> BL=128, 2 programs) must agree with the
+    single-program run exactly."""
+    B2, Rp, W = 130, 12, 256
+    B = 2 * B2
+    dirs = rng.integers(0, 256, (Rp, B2, W)).astype(np.uint8)
+    dminq = rng.integers(-W + 1, 1, B).astype(np.int32)
+    ei = rng.integers(1, Rp, B).astype(np.int32)
+    ej = np.clip(ei - dminq - rng.integers(0, W, B), 0, Rp - 1
+                 ).astype(np.int32)
+    ei[::7] = -1
+    outs = [
+        traceback_sweep_t(
+            jnp.asarray(dirs), jnp.asarray(dminq), jnp.asarray(ei),
+            jnp.asarray(ej), W=W, r_rows=8, col_block=cb,
+            interpret=True)
+        for cb in (1024, 256)
+    ]
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][k]), np.asarray(outs[1][k]))
+
+
 def test_lane_packed_fused_roundtrip(rng):
     """Fused single-array output splits back to the unfused triple."""
     B2, Rp, W = 20, 16, 128

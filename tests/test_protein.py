@@ -134,6 +134,24 @@ def test_two_tier_matches_full_run(rng):
     assert np.isinf(res.full_scores[dropped]).all()
 
 
+def test_two_tier_engine_opts_contract(rng):
+    """engine_opts may not shadow arguments two_tier_scores derives
+    itself (it used to die three frames down with 'multiple values for
+    with_dirs'), and on the lax engine it is forwarded — not silently
+    dropped."""
+    ss, ts, lens, dmin, w_eff, _ = _protein_batch(
+        rng, B=4, homolog_frac=0.0)
+    flags = ModeFlags(local_start=True, local_end=True)
+    kw = dict(W=64, go=-11.0, ge=-1.0, flags=flags, w_eff=w_eff,
+              threshold=1e9)
+    with pytest.raises(ValueError, match="with_dirs"):
+        two_tier_scores(ss, ts, lens, lens, dmin, engine="lax",
+                        engine_opts={"with_dirs": True}, **kw)
+    with pytest.raises(TypeError):   # lax engine validates pass-through
+        two_tier_scores(ss, ts, lens, lens, dmin, engine="lax",
+                        engine_opts={"no_such_option": 1}, **kw)
+
+
 def test_two_tier_no_survivors(rng):
     ss, ts, lens, dmin, w_eff, _ = _protein_batch(
         rng, B=4, homolog_frac=0.0)
